@@ -1,0 +1,423 @@
+"""Active subspace projector (derivative-informed input/output bases).
+
+Re-implements `hippyflow/modeling/activeSubspaceProjector.py` TPU-first.
+
+Math (reference docstring, `activeSubspaceProjector.py:252-260`):
+  input  subspace: GHEP of  E_nu[ J^T J ]  against the prior precision R
+                   (prior_preconditioned) or HEP (identity),
+  output subspace: HEP of  E_nu[ J J^T ].
+
+TPU-native execution plan (replaces SURVEY.md section 3.1's hot loop):
+  1. draw N prior samples and solve the forward PDE *batched* (vmap over a
+     device-sharded sample axis),
+  2. materialize each sample's dense Jacobian J_i (dQ x dM) with ONE blocked
+     adjoint solve (dQ right-hand sides against the cached factorization) —
+     possible because dQ << dM for pointwise observables,
+  3. the averaged Gauss-Newton operator is then a pure matmul pipeline
+     E[J^T J] X = mean_i J_i^T (J_i X), fed to the blocked randomized
+     GHEP (`ops.randomized.double_pass_g`).  Zero PDE solves per eigensolver
+     iteration, versus 2 * N * (rank + oversampling) LU back-solves per
+     iteration in the reference.
+
+A matrix-free path (``serialized=True``) reproduces the reference's
+SeriallySampledJacobianOperator (`activeSubspaceProjector.py:97-248`): it
+keeps only batched linearizations and applies J/J^T through incremental
+solves inside the operator. Both paths produce identical spectra for the
+same samples and probe — the cross-implementation consistency test of the
+reference suite (`test/test_derivativeSubspace.py:79-113`).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.randomized import double_pass, double_pass_g
+from ..ops.operators import prior_preconditioned_projector, low_rank_operator
+from ..parallel import NullCollective
+from ..utils import ParameterList, KeyChain
+from .jacobian import ObservableJacobian, jtj_matmat, jjt_matmat
+from .sampling import (
+    SampleBatch,
+    linearize_batch,
+    materialize_jacobians,
+    sample_until_solved,
+)
+
+
+def ActiveSubspaceParameterList() -> ParameterList:
+    """Parameter list mirroring the reference's
+    (`activeSubspaceProjector.py:33-66`) plus TPU batching knobs."""
+    return ParameterList(
+        {
+            "samples_per_process": [64, "Number of samples used in expectations"],
+            "jacobian_data_per_process": [512, "Number of Jacobian data samples"],
+            "error_test_samples": [50, "Number of samples for error test"],
+            "rank": [128, "Rank of subspace"],
+            "jacobian_rank": [128, "Rank of Jacobians generated"],
+            "control_jacobian_rank": [None, "Rank of control Jacobians generated"],
+            "oversampling": [10, "Oversampling for randomized algorithms"],
+            "verbose": [True, "Print progress"],
+            "input_decoder_name": ["_input_decoder", "naming"],
+            "output_decoder_name": ["_output_decoder", "naming"],
+            "serialized_sampling": [
+                False,
+                "Matrix-free J actions instead of materialized Jacobians "
+                "(memory-lean path for large state dimension)",
+            ],
+            "output_directory": [None, "output directory for arrays/plots"],
+            "plot_label_suffix": ["", "suffix for plot label"],
+            "save_and_plot": [False, "save arrays and spectra"],
+            "store_Omega": [False, "keep the random probe (unit tests)"],
+            "ms_given": [False, "use externally supplied samples (unit tests)"],
+            "chunk_size": [None, "sample-batch chunk size (None = auto)"],
+            "seed": [0, "PRNG seed for sampling and probes"],
+        }
+    )
+
+
+class ActiveSubspaceProjector:
+    """Derivative-informed input/output subspaces of m -> q(m)."""
+
+    def __init__(
+        self,
+        observable,
+        prior,
+        control_distribution=None,
+        collective=None,
+        parameters: ParameterList | None = None,
+    ):
+        self.observable = observable
+        self.prior = prior
+        self.control_distribution = control_distribution
+        self.collective = collective or NullCollective()
+        self.parameters = parameters or ActiveSubspaceParameterList()
+        self.keychain = KeyChain(self.parameters["seed"])
+
+        # sample state
+        self.samples: SampleBatch | None = None
+        self.Js: jax.Array | None = None  # (N, dQ, dM) materialized
+        self.lins = None  # batched Linearization (serialized path)
+        # externally supplied samples (ms_given unit-test hook)
+        self.ms = None
+        self.zs = None
+
+        # results
+        self.d_GN = None
+        self.V_GN = None
+        self.d_NG = None
+        self.U_NG = None
+        self.prior_preconditioned = None
+        self.Omega_GN = None
+        self.Omega_NG = None
+        self._input_subspace_construction_time = None
+        self._output_subspace_construction_time = None
+
+    # -- sampling ------------------------------------------------------------
+    def _ensure_samples(self):
+        if self.samples is not None:
+            return
+        if self.parameters["ms_given"]:
+            assert self.ms is not None, "set .ms before ms_given construction"
+            problem = self.observable.problem
+            zs = self.zs
+
+            def one(m, z):
+                u, info = problem.solve_fwd(m, z=z)
+                return u, self.observable.evalu(u)
+
+            in_axes = (0, 0 if zs is not None else None)
+            us, qs = jax.jit(jax.vmap(one, in_axes=in_axes))(self.ms, zs)
+            self.samples = SampleBatch(
+                ms=self.ms, us=us, qs=qs, zs=zs, n_failures=0
+            )
+            return
+        t0 = time.time()
+        self.samples = sample_until_solved(
+            self.observable,
+            self.prior,
+            self.keychain,
+            self.parameters["samples_per_process"],
+            control_distribution=self.control_distribution,
+            chunk_size=self.parameters["chunk_size"],
+            verbose=self.parameters["verbose"],
+        )
+        if self.parameters["verbose"]:
+            print(
+                f"forward sampling took {time.time() - t0:.3f}s "
+                f"({self.samples.n_failures} resampled failures)"
+            )
+
+    def _avg_gn_operator(self, operation: str):
+        """Block callable for E[J^T J] (operation='JTJ') or E[J J^T] ('JJT').
+
+        Three execution strategies:
+        * materialized — dense per-sample Jacobians, expectation = batched
+          matmuls (fastest; requires a B with a consistent dense transpose,
+          i.e. pointwise observables);
+        * batched matrix-free — vmap of J/J^T actions over stored batched
+          linearizations (full-state observables, where B^T is the
+          mass-matrix adjoint and a single dense J does not exist);
+        * serialized matrix-free — python loop over per-sample
+          linearizations re-factorized inside each operator application
+          (`serialized_sampling=True`): the reference's
+          SeriallySampledJacobianOperator memory/time tradeoff
+          (`activeSubspaceProjector.py:97-248`).
+        """
+        self._ensure_samples()
+        s = self.samples
+        materializable = getattr(self.observable.B, "materializable", True)
+
+        if self.parameters["serialized_sampling"]:
+            J = ObservableJacobian(self.observable)
+            problem = self.observable.problem
+            n = s.ms.shape[0]
+
+            def one_sample(m, u, z, X):
+                lin = problem.linearize(u, m, z)
+                if operation == "JTJ":
+                    return J.transpmult(lin, J.mult(lin, X))
+                return J.mult(lin, J.transpmult(lin, X))
+
+            one_jit = jax.jit(one_sample)
+
+            def matmat(X):
+                Y = None
+                for i in range(n):
+                    z_i = s.zs[i] if s.zs is not None else None
+                    Yi = one_jit(s.ms[i], s.us[i], z_i, X)
+                    Y = Yi if Y is None else Y + Yi
+                return Y / n
+
+            return matmat
+
+        if materializable:
+            if self.Js is None:
+                t0 = time.time()
+                self.Js = materialize_jacobians(
+                    self.observable,
+                    s.ms,
+                    s.us,
+                    s.zs,
+                    chunk_size=self.parameters["chunk_size"],
+                )
+                if self.parameters["verbose"]:
+                    print(f"jacobian materialization took {time.time() - t0:.3f}s")
+            J = self.Js
+            if operation == "JTJ":
+                return jax.jit(
+                    lambda X: jnp.einsum(
+                        "sqm,sqk->mk", J, jnp.einsum("sqm,mk->sqk", J, X)
+                    )
+                    / J.shape[0]
+                )
+            return jax.jit(
+                lambda X: jnp.einsum(
+                    "sqm,smk->qk", J, jnp.einsum("spm,pk->smk", J, X)
+                )
+                / J.shape[0]
+            )
+
+        # batched matrix-free (e.g. full-state observable)
+        if self.lins is None:
+            self.lins = linearize_batch(self.observable, s.ms, s.us, s.zs)
+        J = ObservableJacobian(self.observable)
+        lins = self.lins
+
+        def matmat(X):
+            def per_sample(lin):
+                if operation == "JTJ":
+                    return J.transpmult(lin, J.mult(lin, X))
+                return J.mult(lin, J.transpmult(lin, X))
+
+            return jnp.mean(jax.vmap(per_sample)(lins), axis=0)
+
+        return jax.jit(matmat)
+
+    # -- input subspace ------------------------------------------------------
+    def construct_input_subspace(self, prior_preconditioned: bool = True):
+        """GHEP of E[J^T J] against R (or HEP when not preconditioned).
+
+        Returns (d_GN, decoder, encoder) with encoder = R @ decoder, matching
+        `activeSubspaceProjector.py:449-463`."""
+        t0 = time.time()
+        avg_JTJ = self._avg_gn_operator("JTJ")
+        r = self.parameters["rank"]
+        p = self.parameters["oversampling"]
+        dM = self.observable.dM
+        if self.Omega_GN is None:
+            Omega = self.keychain.normal((dM, r + p), dtype=self.prior.mean.dtype)
+            if self.parameters["store_Omega"]:
+                self.Omega_GN = Omega
+        else:
+            Omega = self.Omega_GN
+
+        if prior_preconditioned:
+            self.d_GN, self.V_GN = double_pass_g(
+                avg_JTJ,
+                self.prior.R_matmat,
+                self.prior.Rsolver_matmat,
+                Omega,
+                r,
+                s=1,
+            )
+            as_decoder = self.V_GN
+            as_encoder = self.prior.R_matmat(as_decoder)
+        else:
+            self.d_GN, self.V_GN = double_pass(avg_JTJ, Omega, r, s=1)
+            as_decoder = self.V_GN
+            as_encoder = as_decoder
+        self.prior_preconditioned = prior_preconditioned
+        self._input_subspace_construction_time = time.time() - t0
+        if self.parameters["verbose"]:
+            print(
+                "input subspace construction took "
+                f"{self._input_subspace_construction_time:.3f}s"
+            )
+        self._save("input", self.d_GN, as_decoder)
+        return self.d_GN, as_decoder, as_encoder
+
+    # -- output subspace --------------------------------------------------------
+    def construct_output_subspace(self):
+        """HEP of E[J J^T] (reference `activeSubspaceProjector.py:625-673`)."""
+        t0 = time.time()
+        avg_JJT = self._avg_gn_operator("JJT")
+        r = self.parameters["rank"]
+        p = self.parameters["oversampling"]
+        dQ = self.observable.dQ
+        r = min(r, dQ)
+        if self.Omega_NG is None:
+            Omega = self.keychain.normal(
+                (dQ, min(r + p, dQ)), dtype=self.prior.mean.dtype
+            )
+            if self.parameters["store_Omega"]:
+                self.Omega_NG = Omega
+        else:
+            Omega = self.Omega_NG
+        self.d_NG, self.U_NG = double_pass(avg_JJT, Omega, r, s=1)
+        output_decoder = self.U_NG
+        output_encoder = output_decoder
+        self._output_subspace_construction_time = time.time() - t0
+        if self.parameters["verbose"]:
+            print(
+                "output subspace construction took "
+                f"{self._output_subspace_construction_time:.3f}s"
+            )
+        self._save("output", self.d_NG, output_decoder)
+        return self.d_NG, output_decoder, output_encoder
+
+    # -- Jacobian training data -----------------------------------------------
+    def construct_low_rank_Jacobians(self, output_directory="jacobian_data/"):
+        """Per-sample truncated SVDs J_i ~ U_i S_i V_i^T saved in the
+        reference's Jsvd schema. With materialized Jacobians this is an exact
+        batched SVD rather than the reference's per-sample randomized
+        accuracyEnhancedSVD (`activeSubspaceProjector.py:816`) — strictly
+        more accurate at the same artifact format."""
+        t0 = time.time()
+        self._ensure_samples()
+        if self.Js is None:
+            self.Js = materialize_jacobians(
+                self.observable,
+                self.samples.ms,
+                self.samples.us,
+                self.samples.zs,
+                chunk_size=self.parameters["chunk_size"],
+            )
+        rank = min(
+            self.parameters["jacobian_rank"], min(self.Js.shape[1], self.Js.shape[2])
+        )
+        U, sig, Vt = jnp.linalg.svd(self.Js, full_matrices=False)
+        U, sig, V = U[:, :, :rank], sig[:, :rank], jnp.swapaxes(Vt, 1, 2)[:, :, :rank]
+        self._jacobian_data_generation_time = time.time() - t0
+        if output_directory is not None:
+            os.makedirs(output_directory, exist_ok=True)
+            np.savez_compressed(
+                os.path.join(output_directory, "Jsvd_data.npz"),
+                U_data=np.asarray(U),
+                sigma_data=np.asarray(sig),
+                V_data=np.asarray(V),
+            )
+            np.save(
+                os.path.join(output_directory, "mq_m_data.npy"),
+                np.asarray(self.samples.ms),
+            )
+            np.save(
+                os.path.join(output_directory, "mq_q_data.npy"),
+                np.asarray(self.samples.qs),
+            )
+        return U, sig, V
+
+    # -- projection error tests ------------------------------------------------
+    def test_errors(self, ranks=(8, 16, 32, 64), test_input: bool = True,
+                    test_output: bool = False, n_samples: int | None = None):
+        """Monte-Carlo relative projection errors for the input (and/or
+        output) subspace at the given ranks (reference `test_errors`,
+        `activeSubspaceProjector.py:1048-1335`, naive-test portion).
+
+        Input test: err = ||m - V_r V_r^T R m|| / ||m|| over prior samples
+        (prior-preconditioned oblique projector, `PriorPreconditionedProjector`).
+        Output test: err = ||q - U_r U_r^T q|| / ||q|| over forward samples.
+        Returns dict rank -> (avg_rel_err, std_rel_err).
+        """
+        n = n_samples or self.parameters["error_test_samples"]
+        out = {}
+        if test_input:
+            assert self.V_GN is not None, "construct_input_subspace first"
+            noise = self.keychain.normal((n, self.prior.noise_dim))
+            M_samples = self.prior.sample(noise)  # (n, dM)
+            for r in ranks:
+                V = self.V_GN[:, :r]
+                if self.prior_preconditioned:
+                    proj = prior_preconditioned_projector(V, self.prior.R_matmat)
+                else:
+                    proj = low_rank_operator(jnp.ones(r), V)
+                P = proj(M_samples.T).T
+                errs = jnp.linalg.norm(M_samples - P, axis=1) / jnp.linalg.norm(
+                    M_samples, axis=1
+                )
+                out[("input", r)] = (float(errs.mean()), float(errs.std()))
+        if test_output:
+            assert self.U_NG is not None, "construct_output_subspace first"
+            self._ensure_samples()
+            Q = self.samples.qs[:n]
+            for r in ranks:
+                U = self.U_NG[:, :r]
+                P = (U @ (U.T @ Q.T)).T
+                errs = jnp.linalg.norm(Q - P, axis=1) / jnp.linalg.norm(Q, axis=1)
+                out[("output", r)] = (float(errs.mean()), float(errs.std()))
+        return out
+
+    # -- io ----------------------------------------------------------------------
+    def _save(self, which: str, d, decoder):
+        if not self.parameters["save_and_plot"]:
+            return
+        outdir = self.parameters["output_directory"]
+        if outdir is None:
+            return
+        os.makedirs(outdir, exist_ok=True)
+        n = self.parameters["samples_per_process"] * self.collective.size()
+        name = f"AS_{int(n)}"
+        suffix = (
+            self.parameters["input_decoder_name"]
+            if which == "input"
+            else self.parameters["output_decoder_name"]
+        )
+        np.save(os.path.join(outdir, name + suffix), np.asarray(decoder))
+        dname = "_d_GN" if which == "input" else "_d_NG"
+        np.save(os.path.join(outdir, name + dname), np.asarray(d))
+        try:
+            from ..utils.plotting import spectrum_plot
+
+            spectrum_plot(
+                np.asarray(d),
+                axis_label=["i", r"$\lambda_i$", "spectrum"],
+                out_name=os.path.join(
+                    outdir, f"{name}_{which}_eigenvalues_{self.parameters['rank']}.pdf"
+                ),
+            )
+        except Exception:
+            pass

@@ -1,0 +1,240 @@
+"""Variational PDE problems with built-in adjoint consistency.
+
+TPU-native replacement for hp.PDEVariationalProblem and the reference's
+PDEVariationalControlProblem (`hippyflow/test/setupPoissonControlProblem.py:
+28-349`).  The whole KKT apparatus (A, At, C, Cz blocks, incremental
+forward/adjoint solvers) collapses to:
+
+* ``solve_fwd``   — linear: assemble + factorize + solve; nonlinear: Newton
+  with backtracking line search, expressed with ``lax.while_loop`` so it jits
+  and vmaps over sample batches (the reference's per-sample python try/except
+  loop becomes a converged-flag you mask on, SURVEY.md section 5.3).
+* ``linearize``   — returns a ``Linearization`` pytree holding the state and
+  the dense factorization of the bc-symmetrized A block.  A *batch* of
+  linearizations is the same pytree with a leading axis (vmap).
+* ``apply_C/Ct/Cz/Czt`` — exact KKT blocks as jvp/vjp of the *masked*
+  residual; Dirichlet rows vanish automatically, matching the reference's
+  ``[bc.zero(C) for bc in self.bc0]`` (`setupPoissonControlProblem.py:225`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from ..fem import (
+    BoundGalerkinForm,
+    DirichletBC,
+    GalerkinForm,
+    FunctionSpace,
+    bc_apply_rhs,
+    bc_symmetrize,
+    mask_residual,
+)
+from ..ops.linalg import factorize
+
+STATE, PARAMETER, ADJOINT, CONTROL = 0, 1, 2, 3
+
+
+class NewtonInfo(NamedTuple):
+    converged: jax.Array
+    iterations: jax.Array
+    residual_norm: jax.Array
+
+
+class Linearization(NamedTuple):
+    """Forward state + factorized linearized operator at (u, m[, z]).
+
+    The factor is of the *bc-symmetrized* A = dr/du, so incremental forward
+    solves are ``factor.solve(rhs)`` and incremental adjoint solves are
+    ``factor.solve(rhs, trans=True)`` — the reference's solver_fwd_inc /
+    solver_adj_inc pair (`setupPoissonControlProblem.py:228-233`)."""
+
+    u: jax.Array
+    m: jax.Array
+    z: jax.Array | None
+    factor: object
+
+
+class VariationalPDEProblem:
+    """PDE problem defined by a GalerkinForm residual and Dirichlet BCs.
+
+    Args:
+        Vu, Vm: state and parameter function spaces (may be the same object).
+        form: GalerkinForm giving the weak residual r(u, m, z; v).
+        bc: DirichletBC for the state (inhomogeneous allowed).
+        is_fwd_linear: the residual is affine in u — one factorization solves.
+        control_dim: dimension of the control vector z, or None.
+    """
+
+    def __init__(
+        self,
+        Vu: FunctionSpace,
+        Vm: FunctionSpace,
+        form: GalerkinForm,
+        bc: DirichletBC,
+        is_fwd_linear: bool = False,
+        control_dim: int | None = None,
+        newton_rtol: float = 1e-9,
+        newton_atol: float = 1e-12,
+        newton_max_iter: int = 25,
+        n_line_search: int = 8,
+    ):
+        self.Vu, self.Vm = Vu, Vm
+        self.form = form
+        self.bound = BoundGalerkinForm(Vu, Vm, form)
+        self.bc = bc
+        self.is_fwd_linear = is_fwd_linear
+        self.control_dim = control_dim
+        self.newton_rtol = newton_rtol
+        self.newton_atol = newton_atol
+        self.newton_max_iter = newton_max_iter
+        self.n_line_search = n_line_search
+
+    # -- hippyflow-parity helpers -------------------------------------------
+    @property
+    def has_control(self) -> bool:
+        return self.control_dim is not None
+
+    def generate_state(self, dtype=None):
+        return jnp.zeros(self.Vu.dim, dtype=dtype or config.default_dtype())
+
+    def generate_parameter(self, dtype=None):
+        return jnp.zeros(self.Vm.dim, dtype=dtype or config.default_dtype())
+
+    def generate_control(self, dtype=None):
+        assert self.has_control
+        return jnp.zeros(self.control_dim, dtype=dtype or config.default_dtype())
+
+    # -- residual ------------------------------------------------------------
+    def residual_masked(self, u, m, z=None):
+        """Residual with Dirichlet rows replaced by (u - g)."""
+        r = self.bound.residual(u, m, z)
+        return mask_residual(r, u, self.bc)
+
+    # -- forward solve --------------------------------------------------------
+    def solve_fwd(self, m, z=None, u0=None):
+        """Solve the (possibly nonlinear) forward problem.
+
+        Returns (u, NewtonInfo). Linear problems report converged=True,
+        iterations=1. Pure function of (m, z, u0): jit- and vmap-safe.
+        """
+        if self.is_fwd_linear:
+            return self._solve_linear(m, z)
+        return self._solve_newton(m, z, u0)
+
+    def _solve_linear(self, m, z):
+        zero = jnp.zeros(self.Vu.dim, dtype=m.dtype)
+        A = self.bound.assemble_A(zero, m, z)
+        b = -self.bound.residual(zero, m, z)
+        b = bc_apply_rhs(b, self.bc, A)
+        A_bc = bc_symmetrize(A, self.bc)
+        fac = factorize(A_bc, self.form.symmetric)
+        u = fac.solve(b)
+        info = NewtonInfo(
+            converged=jnp.asarray(True),
+            iterations=jnp.asarray(1),
+            residual_norm=jnp.linalg.norm(self.residual_masked(u, m, z)),
+        )
+        return u, info
+
+    def _solve_newton(self, m, z, u0):
+        mask = jnp.asarray(self.bc.mask)
+        g = jnp.asarray(self.bc.value, dtype=m.dtype)
+        if u0 is None:
+            u0 = jnp.zeros(self.Vu.dim, dtype=m.dtype)
+        u_init = jnp.where(mask, g, u0)
+        r_init = self.residual_masked(u_init, m, z)
+        r0n = jnp.linalg.norm(r_init)
+        tol = self.newton_atol + self.newton_rtol * r0n
+        alphas = 0.5 ** jnp.arange(self.n_line_search, dtype=m.dtype)
+
+        def cond(state):
+            _, r, it = state
+            return (jnp.linalg.norm(r) > tol) & (it < self.newton_max_iter)
+
+        def body(state):
+            u, r, it = state
+            A = bc_symmetrize(self.bound.assemble_A(u, m, z), self.bc)
+            fac = factorize(A, self.form.symmetric)
+            du = -fac.solve(r)
+            rn = jnp.linalg.norm(r)
+
+            def try_alpha(a):
+                return jnp.linalg.norm(self.residual_masked(u + a * du, m, z))
+
+            rnorms = jax.vmap(try_alpha)(alphas)
+            ok = rnorms < (1.0 - 1e-4 * alphas) * rn
+            idx = jnp.argmax(ok)  # first acceptable step (Armijo)
+            idx = jnp.where(ok.any(), idx, jnp.argmin(rnorms))
+            alpha = alphas[idx]
+            u_new = u + alpha * du
+            r_new = self.residual_masked(u_new, m, z)
+            return (u_new, r_new, it + 1)
+
+        u, r, it = jax.lax.while_loop(cond, body, (u_init, r_init, jnp.asarray(0)))
+        rn = jnp.linalg.norm(r)
+        info = NewtonInfo(converged=rn <= tol, iterations=it, residual_norm=rn)
+        return u, info
+
+    # -- linearization ---------------------------------------------------------
+    def linearize(self, u, m, z=None) -> Linearization:
+        """Assemble and factorize A = dr/du at (u, m, z) (bc-symmetrized).
+
+        Reference: ``setLinearizationPoint`` assembling A/At and setting the
+        incremental solvers (`setupPoissonControlProblem.py:209-233`)."""
+        A = bc_symmetrize(self.bound.assemble_A(u, m, z), self.bc)
+        fac = factorize(A, self.form.symmetric)
+        return Linearization(u=u, m=m, z=z, factor=fac)
+
+    # -- incremental solves -------------------------------------------------
+    def solve_incremental(self, lin: Linearization, rhs, is_adj: bool = False):
+        """Solve A du = rhs (forward) or A^T dp = rhs (adjoint), with
+        Dirichlet rows of the rhs zeroed first, as the reference does
+        (`setupPoissonControlProblem.py:281-283`)."""
+        keep = (~jnp.asarray(self.bc.mask)).astype(rhs.dtype)
+        rhs = rhs * (keep[:, None] if rhs.ndim == 2 else keep)
+        return lin.factor.solve(rhs, trans=is_adj)
+
+    # -- KKT blocks (exact, matrix-free) --------------------------------------
+    def apply_C(self, lin: Linearization, dm):
+        """C @ dm with C = dr/dm at the linearization point (bc rows zero)."""
+        f = lambda mm: self.residual_masked(lin.u, mm, lin.z)
+        if dm.ndim == 1:
+            return jax.jvp(f, (lin.m,), (dm,))[1]
+        return jax.vmap(
+            lambda col: jax.jvp(f, (lin.m,), (col,))[1], in_axes=1, out_axes=1
+        )(dm)
+
+    def apply_Ct(self, lin: Linearization, dp):
+        f = lambda mm: self.residual_masked(lin.u, mm, lin.z)
+        _, pull = jax.vjp(f, lin.m)
+        if dp.ndim == 1:
+            return pull(dp)[0]
+        return jax.vmap(lambda col: pull(col)[0], in_axes=1, out_axes=1)(dp)
+
+    def apply_Cz(self, lin: Linearization, dz):
+        assert self.has_control
+        f = lambda zz: self.residual_masked(lin.u, lin.m, zz)
+        if dz.ndim == 1:
+            return jax.jvp(f, (lin.z,), (dz,))[1]
+        return jax.vmap(
+            lambda col: jax.jvp(f, (lin.z,), (col,))[1], in_axes=1, out_axes=1
+        )(dz)
+
+    def apply_Czt(self, lin: Linearization, dp):
+        assert self.has_control
+        f = lambda zz: self.residual_masked(lin.u, lin.m, zz)
+        _, pull = jax.vjp(f, lin.z)
+        if dp.ndim == 1:
+            return pull(dp)[0]
+        return jax.vmap(lambda col: pull(col)[0], in_axes=1, out_axes=1)(dp)
+
+    def evalGradientParameter(self, u, m, p, z=None):
+        """delta_m of the Lagrangian residual form: C^T p (reference:
+        `setupPoissonControlProblem.py:187-196`)."""
+        lin = Linearization(u=u, m=m, z=z, factor=None)
+        return self.apply_Ct(lin, p)

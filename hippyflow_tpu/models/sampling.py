@@ -1,0 +1,211 @@
+"""Batched sampling of (m, u, q, J) with failure-masked resampling.
+
+The reference draws prior samples and solves the PDE one at a time inside
+try/except retry loops (`activeSubspaceProjector.py:359-381`,
+`PODProjector.py:190-217`).  Exceptions cannot cross ``jit``, so here the
+whole chunk solves in one vmapped/jitted call, each sample reports a
+converged flag (NewtonInfo), and the *host* resamples only the failed lanes
+with fresh keys — same recovery semantics, batched hot path.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from .jacobian import ObservableJacobian, ObservableControlJacobian
+from .observable import LinearStateObservable
+
+
+def auto_chunk_size(state_dim: int, dtype=None, memory_gb: float = 2.0) -> int:
+    """Largest sample-batch whose dense factorizations fit the budget."""
+    dtype = dtype or config.default_dtype()
+    itemsize = jnp.dtype(dtype).itemsize
+    per_sample = 3.0 * state_dim * state_dim * itemsize  # A + factor + slack
+    return max(1, int(memory_gb * 1e9 / per_sample))
+
+
+def _jit_cache(obj):
+    if not hasattr(obj, "_hf_jit_cache"):
+        obj._hf_jit_cache = {}
+    return obj._hf_jit_cache
+
+
+@dataclass
+class SampleBatch:
+    """Solved forward samples. Arrays have leading sample axis."""
+
+    ms: jax.Array  # (n, dM)
+    us: jax.Array  # (n, n_state)
+    qs: jax.Array  # (n, dQ)
+    zs: jax.Array | None  # (n, dZ) or None
+    n_failures: int
+
+
+def sample_until_solved(
+    observable: LinearStateObservable,
+    prior,
+    keychain,
+    n_samples: int,
+    control_distribution=None,
+    chunk_size: int | None = None,
+    max_tries: int = 10,
+    verbose: bool = False,
+) -> SampleBatch:
+    """Draw n_samples prior samples with converged forward solves.
+
+    Failed lanes (non-converged Newton) are resampled with fresh noise, up to
+    ``max_tries`` sweeps; a hard failure raises, mirroring the reference's
+    100-iteration guard (`activeSubspaceProjector.py:211`).
+    """
+    problem = observable.problem
+    dtype = prior.mean.dtype
+    if chunk_size is None:
+        chunk_size = auto_chunk_size(problem.Vu.dim, dtype)
+    with_control = control_distribution is not None
+
+    cache = _jit_cache(observable)
+    ck = ("sample_solve", with_control, id(prior))
+    if ck not in cache:
+
+        def one(noise, z):
+            m = prior.sample(noise)
+            u, info = problem.solve_fwd(m, z=z)
+            q = observable.evalu(u)
+            return m, u, q, info.converged
+
+        if with_control:
+            cache[ck] = jax.jit(jax.vmap(one))
+        else:
+            cache[ck] = jax.jit(jax.vmap(one, in_axes=(0, None)))
+
+    solve_chunk = cache[ck]
+
+    ms_out, us_out, qs_out, zs_out = [], [], [], []
+    n_failures = 0
+    remaining = n_samples
+    while remaining > 0:
+        b = min(chunk_size, remaining)
+        noise = keychain.normal((b, prior.noise_dim), dtype=dtype)
+        z = None
+        if with_control:
+            z = control_distribution.sample_n(keychain.next_key(), b)
+        m, u, q, ok = solve_chunk(noise, z)
+        ok = np.asarray(ok)
+        for _ in range(max_tries):
+            if ok.all():
+                break
+            bad = np.where(~ok)[0]
+            n_failures += len(bad)
+            if verbose:
+                print(f"resampling {len(bad)} failed forward solves")
+            noise2 = keychain.normal((len(bad), prior.noise_dim), dtype=dtype)
+            z2 = (
+                control_distribution.sample_n(keychain.next_key(), len(bad))
+                if with_control
+                else None
+            )
+            m2, u2, q2, ok2 = solve_chunk(noise2, z2)
+            m = m.at[bad].set(m2)
+            u = u.at[bad].set(u2)
+            q = q.at[bad].set(q2)
+            if with_control:
+                z = z.at[bad].set(z2)
+            ok_np = ok.copy()
+            ok_np[bad] = np.asarray(ok2)
+            ok = ok_np
+        if not ok.all():
+            raise RuntimeError(
+                f"{(~ok).sum()} forward solves failed after {max_tries} resampling sweeps"
+            )
+        ms_out.append(m)
+        us_out.append(u)
+        qs_out.append(q)
+        if with_control:
+            zs_out.append(z)
+        remaining -= b
+
+    return SampleBatch(
+        ms=jnp.concatenate(ms_out),
+        us=jnp.concatenate(us_out),
+        qs=jnp.concatenate(qs_out),
+        zs=jnp.concatenate(zs_out) if with_control else None,
+        n_failures=n_failures,
+    )
+
+
+def materialize_jacobians(
+    observable: LinearStateObservable,
+    ms,
+    us,
+    zs=None,
+    chunk_size: int | None = None,
+    control: bool = False,
+):
+    """Dense Jacobians J_i = dq/dm at each sample: (n, dQ, dM).
+
+    One batched linearization (factorize) + one blocked adjoint solve per
+    chunk; the factorizations are freed as soon as the chunk's J is formed,
+    so peak memory is chunk_size * n_state^2 regardless of n_samples.
+    """
+    problem = observable.problem
+    J = (
+        ObservableControlJacobian(observable)
+        if control
+        else ObservableJacobian(observable)
+    )
+    if chunk_size is None:
+        chunk_size = auto_chunk_size(problem.Vu.dim, ms.dtype)
+
+    cache = _jit_cache(observable)
+    ck = ("materialize", control, zs is not None)
+    if ck not in cache:
+
+        def one(m, u, z):
+            lin = problem.linearize(u, m, z)
+            return J.materialize(lin)
+
+        in_axes = (0, 0, 0 if zs is not None else None)
+        cache[ck] = jax.jit(jax.vmap(one, in_axes=in_axes))
+    fn = cache[ck]
+
+    outs = []
+    n = ms.shape[0]
+    for s in range(0, n, chunk_size):
+        e = min(s + chunk_size, n)
+        z_chunk = zs[s:e] if zs is not None else None
+        outs.append(fn(ms[s:e], us[s:e], z_chunk))
+    return jnp.concatenate(outs)
+
+
+def linearize_batch(observable: LinearStateObservable, ms, us, zs=None):
+    """Batched Linearization pytree (factors kept: memory n * n_state^2)."""
+    problem = observable.problem
+    cache = _jit_cache(observable)
+    ck = ("linearize_batch", zs is not None)
+    if ck not in cache:
+        in_axes = (0, 0, 0 if zs is not None else None)
+        cache[ck] = jax.jit(
+            jax.vmap(lambda u, m, z: problem.linearize(u, m, z), in_axes=in_axes)
+        )
+    return cache[ck](us, ms, zs)
+
+
+class UniformDistribution:
+    """Uniform control sampler (reference test fixture:
+    `setupPoissonControlProblem.py:352-383`)."""
+
+    def __init__(self, dim: int, a: float, b: float):
+        self.dim = dim
+        self.a, self.b = float(a), float(b)
+
+    def sample_n(self, key, n: int, dtype=None):
+        dtype = dtype or config.default_dtype()
+        return jax.random.uniform(
+            key, (n, self.dim), dtype=dtype, minval=self.a, maxval=self.b
+        )

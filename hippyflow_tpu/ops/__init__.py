@@ -1,0 +1,25 @@
+"""Dense/blocked linear algebra and randomized spectral methods."""
+
+from .linalg import (
+    CholeskyFactor,
+    LUFactor,
+    factorize,
+    solve_refined,
+    cg_solve,
+    eigh_descending,
+    generalized_eigh,
+)
+from .randomized import (
+    orthogonalize,
+    double_pass,
+    double_pass_g,
+    accuracy_enhanced_svd,
+)
+from .operators import (
+    dense_operator,
+    low_rank_operator,
+    low_rank_rectangular_operator,
+    prior_preconditioned_projector,
+    mean_jtj_from_data_operator,
+    averaged_operator,
+)

@@ -1,0 +1,155 @@
+"""End-to-end data-generation pipeline — port of
+`hippyflow/test/test_dataGenerator.py`: KLE input decoder + data-POD output
+decoder -> generate with decoders, without decoders (SVD), and the two-step
+(full-state POD then Jacobians-in-subspace) path."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from hippyflow_tpu.models import (
+    DataGenerator,
+    KLEParameterList,
+    KLEProjector,
+    PODProjectorFromData,
+)
+from hippyflow_tpu.testing import (
+    poisson_control_settings,
+    poisson_full_state_observable,
+    poisson_pointwise_observable,
+    setup_poisson_control_problem,
+)
+
+N_SAMPLES = 12
+POD_RANK = 8
+KLE_RANK = 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    settings = poisson_control_settings()
+    settings["nx"] = settings["ny"] = 10
+    pde, prior, control_dist, Vh = setup_poisson_control_problem(settings)
+    return pde, prior, control_dist, Vh
+
+
+def _generator(obs, prior, control_dist, rM=6, rZ=6):
+    return DataGenerator(
+        obs,
+        prior,
+        control_distribution=control_dist,
+        settings={"rM": rM, "rZ": rZ, "verbose": False},
+    )
+
+
+def test_generate_with_decoders(setup, tmp_path):
+    pde, prior, control_dist, Vh = setup
+    obs = poisson_pointwise_observable(pde, Vh, n_obs=10)
+    data_dir = str(tmp_path / "withdec") + "/"
+
+    # input decoder from KLE
+    kle_params = KLEParameterList()
+    kle_params["rank"] = KLE_RANK
+    kle_params["verbose"] = False
+    kle = KLEProjector(prior, parameters=kle_params)
+    d_kle, kle_dec, kle_enc = kle.construct_input_subspace("mass")
+
+    gen = _generator(obs, prior, control_dist)
+    gen.generate(
+        N_SAMPLES,
+        derivatives=(1, 1),
+        input_decoder=np.asarray(kle_dec),
+        input_encoder=np.asarray(kle_enc),
+        data_dir=data_dir,
+    )
+    mzq = np.load(data_dir + "mzq_data.npz")
+    assert mzq["m_data"].shape == (N_SAMPLES, Vh.dim)
+    assert mzq["q_data"].shape == (N_SAMPLES, 10)
+    assert mzq["z_data"].shape == (N_SAMPLES, 25)
+    jpsi = np.load(data_dir + "JPsi_data.npz")
+    assert jpsi["JPsi_data"].shape == (N_SAMPLES, 10, KLE_RANK)
+    # control jacobian falls back to SVD (no control decoder)
+    jz = np.load(data_dir + "Jzsvd_data.npz")
+    assert jz["sigmaz_data"].shape[0] == N_SAMPLES
+
+
+def test_generate_with_output_decoder(setup, tmp_path):
+    pde, prior, control_dist, Vh = setup
+    obs = poisson_pointwise_observable(pde, Vh, n_obs=10)
+    data_dir = str(tmp_path / "outdec") + "/"
+
+    # first pass: plain forward data for a data-driven output POD
+    gen = _generator(obs, prior, control_dist)
+    gen.generate(N_SAMPLES, derivatives=(0, 0), data_dir=data_dir, clean_up=True)
+    q_data = np.load(data_dir + "mzq_data.npz")["q_data"]
+    # identity-weighted POD on the 10-dim output
+    U, S, Vt = np.linalg.svd(q_data - q_data.mean(0), full_matrices=False)
+    phi = Vt[:4].T
+
+    data_dir2 = str(tmp_path / "outdec2") + "/"
+    gen2 = _generator(obs, prior, control_dist)
+    gen2.generate(
+        N_SAMPLES,
+        derivatives=(1, 1),
+        output_decoder=phi,
+        data_dir=data_dir2,
+    )
+    jsp = np.load(data_dir2 + "JstarPhi_data.npz")
+    assert jsp["JstarPhi_data"].shape == (N_SAMPLES, Vh.dim, 4)
+    assert np.allclose(jsp["Phi"], phi)
+    jzsp = np.load(data_dir2 + "JzstarPhi_data.npz")
+    assert jzsp["JzstarPhi_data"].shape == (N_SAMPLES, 25, 4)
+
+
+def test_generate_with_svd(setup, tmp_path):
+    pde, prior, control_dist, Vh = setup
+    obs = poisson_pointwise_observable(pde, Vh, n_obs=10)
+    data_dir = str(tmp_path / "svd") + "/"
+    gen = _generator(obs, prior, control_dist, rM=6)
+    gen.generate(N_SAMPLES, derivatives=(1, 0), data_dir=data_dir)
+    jsvd = np.load(data_dir + "Jsvd_data.npz")
+    assert jsvd["U_data"].shape == (N_SAMPLES, 10, 6)
+    assert jsvd["sigma_data"].shape == (N_SAMPLES, 6)
+    assert jsvd["V_data"].shape == (N_SAMPLES, Vh.dim, 6)
+    # singular values descending
+    assert (np.diff(jsvd["sigma_data"], axis=1) <= 1e-12).all()
+
+
+def test_two_step_generate(setup, tmp_path):
+    pde, prior, control_dist, Vh = setup
+    obs = poisson_full_state_observable(pde, Vh)
+    data_dir = str(tmp_path / "twostep") + "/"
+    gen = _generator(obs, prior, control_dist)
+    gen.two_step_generate(
+        N_SAMPLES,
+        derivatives=(1, 1),
+        pod_rank=POD_RANK,
+        data_dir=data_dir,
+    )
+    pod_dec = np.load(data_dir + "POD/POD_decoder.npy")
+    assert pod_dec.shape == (Vh.dim, POD_RANK)
+    jsp = np.load(data_dir + "JstarPhi_data.npz")
+    assert jsp["JstarPhi_data"].shape == (N_SAMPLES, Vh.dim, POD_RANK)
+    jzsp = np.load(data_dir + "JzstarPhi_data.npz")
+    assert jzsp["JzstarPhi_data"].shape == (N_SAMPLES, 25, POD_RANK)
+
+
+def test_resume(setup, tmp_path):
+    pde, prior, control_dist, Vh = setup
+    obs = poisson_pointwise_observable(pde, Vh, n_obs=10)
+    data_dir = str(tmp_path / "resume") + "/"
+    gen = _generator(obs, prior, control_dist)
+    gen.settings["chunk_size"] = 4
+    gen.generate(8, derivatives=(0, 0), data_dir=data_dir, compress=False,
+                 clean_up=False)
+    n_chunks_before = len(os.listdir(os.path.join(data_dir, "chunks")))
+    # second call resumes and extends to 12
+    gen2 = _generator(obs, prior, control_dist)
+    gen2.settings["chunk_size"] = 4
+    gen2.generate(12, derivatives=(0, 0), data_dir=data_dir, compress=True,
+                  clean_up=False)
+    mzq = np.load(data_dir + "mzq_data.npz")
+    assert mzq["m_data"].shape[0] == 12
+    assert n_chunks_before == 2

@@ -1,0 +1,167 @@
+"""FEM layer unit tests: assembly exactness, solves, observation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hippyflow_tpu.fem import (
+    DirichletBC,
+    FunctionSpace,
+    GalerkinForm,
+    assemble_pointwise_observation,
+    boundary_mass_matrix,
+    mass_matrix,
+    stiffness_matrix,
+    unit_square_mesh,
+)
+from hippyflow_tpu.models import VariationalPDEProblem
+
+
+@pytest.fixture(scope="module")
+def V16():
+    return FunctionSpace(unit_square_mesh(16))
+
+
+def test_mass_matrix_total(V16):
+    M = mass_matrix(V16)
+    assert abs(float(M.sum()) - 1.0) < 1e-12
+    # symmetric
+    assert float(jnp.abs(M - M.T).max()) == 0.0
+
+
+def test_stiffness_annihilates_linears(V16):
+    K = stiffness_matrix(V16)
+    f = V16.interpolate(lambda x: 2.0 * x[:, 0] + 3.0 * x[:, 1] - 1.0)
+    r = np.asarray(K @ jnp.asarray(f))
+    interior = ~V16.mesh.boundary_mask
+    assert np.abs(r[interior]).max() < 1e-12
+
+
+def test_stiffness_energy_of_linear(V16):
+    # int |grad u|^2 for u = x is 1 on the unit square
+    K = stiffness_matrix(V16)
+    f = jnp.asarray(V16.interpolate(lambda x: x[:, 0]))
+    assert abs(float(f @ K @ f) - 1.0) < 1e-12
+
+
+def test_boundary_mass_total(V16):
+    # perimeter of unit square = 4
+    Mb = boundary_mass_matrix(V16)
+    assert abs(float(Mb.sum()) - 4.0) < 1e-12
+
+
+def test_pointwise_observation_exact_on_linears(V16):
+    targets = np.array([[0.33, 0.41], [0.5, 0.5], [0.875, 0.125]])
+    B = assemble_pointwise_observation(V16, targets)
+    f = V16.interpolate(lambda x: 4.0 * x[:, 0] - 2.0 * x[:, 1] + 0.5)
+    expected = 4.0 * targets[:, 0] - 2.0 * targets[:, 1] + 0.5
+    assert np.abs(B @ f - expected).max() < 1e-12
+
+
+def test_poisson_manufactured_solution():
+    # -div(e^m grad u) = f with m = 0, u* = x(1-x)y(1-y)
+    mesh = unit_square_mesh(32)
+    V = FunctionSpace(mesh)
+
+    def flux(x, u, gu, m, z, c):
+        return jnp.exp(m) * gu
+
+    def source(x, u, gu, m, z, c):
+        return -(2.0 * (x[1] * (1 - x[1]) + x[0] * (1 - x[0])))
+
+    form = GalerkinForm(flux=flux, source=source, quad_degree=4, symmetric=True)
+    bc = DirichletBC.from_predicate(V, None, 0.0)
+    prob = VariationalPDEProblem(V, V, form, bc, is_fwd_linear=True)
+    u, info = prob.solve_fwd(jnp.zeros(V.dim))
+    u_exact = V.interpolate(
+        lambda x: x[:, 0] * (1 - x[:, 0]) * x[:, 1] * (1 - x[:, 1])
+    )
+    assert bool(info.converged)
+    assert np.abs(np.asarray(u) - u_exact).max() < 1e-4
+
+
+def test_inhomogeneous_dirichlet():
+    # Laplace equation with u = y on the whole boundary -> u = y everywhere
+    mesh = unit_square_mesh(12)
+    V = FunctionSpace(mesh)
+    form = GalerkinForm(
+        flux=lambda x, u, gu, m, z, c: gu, quad_degree=2, symmetric=True
+    )
+    bc = DirichletBC.from_predicate(V, None, lambda x: x[:, 1])
+    prob = VariationalPDEProblem(V, V, form, bc, is_fwd_linear=True)
+    u, _ = prob.solve_fwd(jnp.zeros(V.dim))
+    u_exact = V.interpolate(lambda x: x[:, 1])
+    assert np.abs(np.asarray(u) - u_exact).max() < 1e-11
+
+
+def test_newton_matches_linear_on_linear_problem():
+    # Newton on an affine residual must converge in one step to the linear solve
+    mesh = unit_square_mesh(8)
+    V = FunctionSpace(mesh)
+
+    def flux(x, u, gu, m, z, c):
+        return jnp.exp(m) * gu
+
+    def source(x, u, gu, m, z, c):
+        return -1.0
+
+    form = GalerkinForm(flux=flux, source=source, quad_degree=3, symmetric=True)
+    bc = DirichletBC.from_predicate(V, None, 0.0)
+    m = 0.3 * jnp.asarray(V.interpolate(lambda x: np.sin(3 * x[:, 0])))
+    lin = VariationalPDEProblem(V, V, form, bc, is_fwd_linear=True)
+    nl = VariationalPDEProblem(V, V, form, bc, is_fwd_linear=False)
+    u1, _ = lin.solve_fwd(m)
+    u2, info = nl.solve_fwd(m)
+    assert bool(info.converged)
+    assert float(jnp.abs(u1 - u2).max()) < 1e-10
+
+
+def test_newton_nonlinear_reaction():
+    mesh = unit_square_mesh(12)
+    V = FunctionSpace(mesh)
+
+    def flux(x, u, gu, m, z, c):
+        return jnp.exp(m) * gu
+
+    def source(x, u, gu, m, z, c):
+        return u**3 - 10.0
+
+    form = GalerkinForm(flux=flux, source=source, quad_degree=4, symmetric=True)
+    bc = DirichletBC.from_predicate(V, None, 0.0)
+    prob = VariationalPDEProblem(V, V, form, bc, is_fwd_linear=False)
+    u, info = prob.solve_fwd(jnp.zeros(V.dim))
+    assert bool(info.converged)
+    assert float(info.residual_norm) < 1e-9
+    # vmap over a parameter batch works and each lane converges
+    ms = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (4, V.dim))
+    us, infos = jax.vmap(lambda mm: prob.solve_fwd(mm))(ms)
+    assert bool(infos.converged.all())
+
+
+def test_cell_coefficients_and_field_coefficients():
+    # advection by a constant field given as P1 coefficient: C(u) = v . grad u
+    mesh = unit_square_mesh(8)
+    V = FunctionSpace(mesh)
+    vel = np.stack(
+        [np.ones(V.dim), np.zeros(V.dim)], axis=1
+    )  # constant velocity (1, 0)
+    h = mesh.cell_diameters()
+
+    def source(x, u, gu, m, z, c):
+        return jnp.dot(c["vel"], gu) * c["h"]
+
+    form = GalerkinForm(
+        source=source,
+        quad_degree=2,
+        coefficients={"vel": vel},
+        cell_coefficients={"h": h},
+    )
+    from hippyflow_tpu.fem import BoundGalerkinForm
+
+    bound = BoundGalerkinForm(V, V, form)
+    u = jnp.asarray(V.interpolate(lambda x: x[:, 0]))
+    r = bound.residual(u, jnp.zeros(V.dim), None)
+    # integrand = h * du/dx * phi_i = h * phi_i; total sum = sum_e h_e * |e|
+    expected = (h * V.geometry.volumes).sum()
+    assert abs(float(r.sum()) - expected) < 1e-12
