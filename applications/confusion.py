@@ -1,0 +1,116 @@
+"""Confusion problem: advection-reaction-diffusion with cubic nonlinearity.
+
+Port of `applications/confusion/confusion_linear_observable.py` (reference):
+
+    (h/|v|) (v . grad u)(v . grad p) dx      SUPG-like stabilization
+  + k grad(u) . grad(p) dx                  diffusion, k = 0.01
+  + (v . grad u) p dx                       advection
+  + c e^m u^3 p dx                          cubic reaction, c = 1
+  - f p dx                                  Gaussian-blob source
+
+with homogeneous Dirichlet BCs, 100 pointwise observations on a grid in
+[0.6, 0.8]^2, and a BiLaplacian prior.
+
+Velocity field: the reference solves steady Navier-Stokes at Re=100 in a
+cavity driven up the left wall and down the right wall
+(`confusion_linear_observable.py:51-82`).  Round-1 TPU port uses the
+divergence-free single-cell stream-function vortex
+
+    psi  = -(1/pi) sin(pi x) sin(pi y)
+    v    = (d psi/dy, -d psi/dx)
+         = (-sin(pi x) cos(pi y),  cos(pi x) sin(pi y))
+
+which matches the driven-cavity circulation direction and wall tangency
+(v.n = 0 on all walls; +y at x=0, -y at x=1).  TODO(round2): replace with a
+Taylor-Hood Newton solve of the steady NS system for exact parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from hippyflow_tpu.fem import (
+    DirichletBC,
+    FunctionSpace,
+    GalerkinForm,
+    grid_targets,
+    unit_square_mesh,
+)
+from hippyflow_tpu.models import (
+    BiLaplacian2D,
+    LinearStateObservable,
+    PointwiseObservation,
+    VariationalPDEProblem,
+)
+
+
+def confusion_velocity(V: FunctionSpace) -> np.ndarray:
+    """(n, 2) P1 dof values of the cavity-circulation velocity field."""
+    x = V.dof_coords
+    vx = -np.sin(np.pi * x[:, 0]) * np.cos(np.pi * x[:, 1])
+    vy = np.cos(np.pi * x[:, 0]) * np.sin(np.pi * x[:, 1])
+    return np.stack([vx, vy], axis=1)
+
+
+def confusion_source(V: FunctionSpace) -> np.ndarray:
+    """Gaussian blob rhs f = max(0.5, exp(-25 |x - (0.7, 0.7)|^2)),
+    interpolated on the state space (`confusion_linear_observable.py:36`)."""
+    x = V.dof_coords
+    blob = np.exp(-25.0 * ((x[:, 0] - 0.7) ** 2 + (x[:, 1] - 0.7) ** 2))
+    return np.maximum(0.5, blob)
+
+
+def confusion_form(V: FunctionSpace, c: float = 1.0, k: float = 0.01) -> GalerkinForm:
+    vel = confusion_velocity(V)
+    f = confusion_source(V)
+    h = V.mesh.cell_diameters()
+
+    def flux(x, u, gu, m, z, coef):
+        v = coef["vel"]
+        v_norm = jnp.sqrt(jnp.dot(v, v) + 1e-6)
+        # SUPG-like term: (h/|v|)(v.grad u) v . grad p  + diffusion k grad u
+        return (coef["h"] / v_norm) * jnp.dot(v, gu) * v + k * gu
+
+    def source(x, u, gu, m, z, coef):
+        return jnp.dot(coef["vel"], gu) + c * jnp.exp(m) * u**3 - coef["f"]
+
+    return GalerkinForm(
+        flux=flux,
+        source=source,
+        quad_degree=4,
+        symmetric=False,  # advection: LU path
+        coefficients={"vel": vel, "f": f},
+        cell_coefficients={"h": h},
+    )
+
+
+def confusion_linear_observable(
+    nx: int = 64,
+    sqrt_n_obs: int = 10,
+    c: float = 1.0,
+    k: float = 0.01,
+    newton_max_iter: int = 25,
+):
+    """Build the confusion observable (reference
+    `confusion_linear_observable.py:27-150`). Returns (observable, Vh)."""
+    mesh = unit_square_mesh(nx)
+    Vh = FunctionSpace(mesh)
+    bc = DirichletBC.from_predicate(Vh, None, 0.0)
+    pde = VariationalPDEProblem(
+        Vh,
+        Vh,
+        confusion_form(Vh, c=c, k=k),
+        bc,
+        is_fwd_linear=False,
+        newton_max_iter=newton_max_iter,
+    )
+    targets = grid_targets(0.6, 0.8, sqrt_n_obs)
+    B = PointwiseObservation(Vh, targets)
+    return LinearStateObservable(pde, B), Vh
+
+
+def confusion_prior(Vh: FunctionSpace, gamma: float = 0.1, delta: float = 1.0):
+    """BiLaplacian prior with the driver's defaults
+    (`confusion_problem_setup.py:44-48`)."""
+    return BiLaplacian2D(Vh, gamma=gamma, delta=delta)

@@ -28,6 +28,9 @@ class Mesh2D:
     vertices: np.ndarray
     cells: np.ndarray
     boundary_mask: np.ndarray
+    # (nx, ny) for structured rectangle meshes with row-major numbering:
+    # enables the block-tridiagonal direct solver (ops/structured.py).
+    structured_shape: tuple | None = None
 
     def __post_init__(self):
         assert self.vertices.ndim == 2 and self.vertices.shape[1] == 2
@@ -103,7 +106,12 @@ def rectangle_mesh(
         | (np.abs(vertices[:, 1] - y0) < eps)
         | (np.abs(vertices[:, 1] - y1) < eps)
     )
-    return Mesh2D(vertices=vertices, cells=cells, boundary_mask=bm)
+    return Mesh2D(
+        vertices=vertices,
+        cells=cells,
+        boundary_mask=bm,
+        structured_shape=(nx, ny),
+    )
 
 
 def unit_square_mesh(nx: int, ny: int | None = None) -> Mesh2D:

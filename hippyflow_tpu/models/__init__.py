@@ -45,3 +45,6 @@ from .pod import (
     weighted_l2_norm_vector,
 )
 from .data_generator import DataGenerator, data_generator_settings
+from .model_wrapper import ModelWrapper, PointwiseMisfit, modelWrapperSettings
+from .cminimization import ConstrainedNSolver, newtonSolver_ParameterList
+from .multi_pde import BlockVector, MultiPDEProblem, MultiStateLinearObservable

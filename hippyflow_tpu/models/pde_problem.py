@@ -35,6 +35,7 @@ from ..fem import (
     mask_residual,
 )
 from ..ops.linalg import factorize
+from ..ops.structured import factorize_block_tridiag_dense
 
 STATE, PARAMETER, ADJOINT, CONTROL = 0, 1, 2, 3
 
@@ -74,7 +75,7 @@ class VariationalPDEProblem:
         self,
         Vu: FunctionSpace,
         Vm: FunctionSpace,
-        form: GalerkinForm,
+        form,
         bc: DirichletBC,
         is_fwd_linear: bool = False,
         control_dim: int | None = None,
@@ -82,17 +83,49 @@ class VariationalPDEProblem:
         newton_atol: float = 1e-12,
         newton_max_iter: int = 25,
         n_line_search: int = 8,
+        rhs_vector=None,
+        solver: str = "auto",
     ):
+        from ..fem.vector_assembly import VectorBoundGalerkinForm, VectorGalerkinForm
+
         self.Vu, self.Vm = Vu, Vm
         self.form = form
-        self.bound = BoundGalerkinForm(Vu, Vm, form)
+        if isinstance(form, VectorGalerkinForm):
+            self.bound = VectorBoundGalerkinForm(Vu, Vm, form)
+            self.state_dim = self.bound.n_total
+        else:
+            self.bound = BoundGalerkinForm(Vu, Vm, form)
+            self.state_dim = Vu.dim
+
+        # solver selection: on structured rectangle meshes with scalar state
+        # the linearized operator is block-tridiagonal (row-major numbering)
+        # and the O(nb s^3) block-Thomas factorization replaces dense LU
+        # (ops/structured.py). 'dense' forces the dense path.
+        assert solver in ("auto", "dense", "block_tridiag")
+        scalar = self.state_dim == Vu.dim
+        structured = Vu.mesh.structured_shape is not None
+        if solver == "block_tridiag":
+            assert scalar and structured, "block_tridiag needs a structured scalar problem"
+        self._use_block_tridiag = (
+            solver in ("auto", "block_tridiag") and scalar and structured
+        )
+        if self._use_block_tridiag:
+            self._block_size = Vu.mesh.structured_shape[0] + 1
         self.bc = bc
+        assert bc.mask.shape[0] == self.state_dim, (
+            "DirichletBC mask length must match the (stacked) state dimension"
+        )
         self.is_fwd_linear = is_fwd_linear
         self.control_dim = control_dim
         self.newton_rtol = newton_rtol
         self.newton_atol = newton_atol
         self.newton_max_iter = newton_max_iter
         self.n_line_search = n_line_search
+        # distributional right-hand side (e.g. point sources, reference
+        # `HelmholtzProblem.py:56-63`): residual -> residual - rhs_vector
+        self.rhs_vector = (
+            None if rhs_vector is None else jnp.asarray(rhs_vector)
+        )
 
     # -- hippyflow-parity helpers -------------------------------------------
     @property
@@ -100,7 +133,7 @@ class VariationalPDEProblem:
         return self.control_dim is not None
 
     def generate_state(self, dtype=None):
-        return jnp.zeros(self.Vu.dim, dtype=dtype or config.default_dtype())
+        return jnp.zeros(self.state_dim, dtype=dtype or config.default_dtype())
 
     def generate_parameter(self, dtype=None):
         return jnp.zeros(self.Vm.dim, dtype=dtype or config.default_dtype())
@@ -109,10 +142,17 @@ class VariationalPDEProblem:
         assert self.has_control
         return jnp.zeros(self.control_dim, dtype=dtype or config.default_dtype())
 
+    def _factorize(self, A):
+        if self._use_block_tridiag:
+            return factorize_block_tridiag_dense(A, self._block_size)
+        return factorize(A, self.form.symmetric)
+
     # -- residual ------------------------------------------------------------
     def residual_masked(self, u, m, z=None):
         """Residual with Dirichlet rows replaced by (u - g)."""
         r = self.bound.residual(u, m, z)
+        if self.rhs_vector is not None:
+            r = r - self.rhs_vector
         return mask_residual(r, u, self.bc)
 
     # -- forward solve --------------------------------------------------------
@@ -127,12 +167,14 @@ class VariationalPDEProblem:
         return self._solve_newton(m, z, u0)
 
     def _solve_linear(self, m, z):
-        zero = jnp.zeros(self.Vu.dim, dtype=m.dtype)
+        zero = jnp.zeros(self.state_dim, dtype=m.dtype)
         A = self.bound.assemble_A(zero, m, z)
         b = -self.bound.residual(zero, m, z)
+        if self.rhs_vector is not None:
+            b = b + self.rhs_vector
         b = bc_apply_rhs(b, self.bc, A)
         A_bc = bc_symmetrize(A, self.bc)
-        fac = factorize(A_bc, self.form.symmetric)
+        fac = self._factorize(A_bc)
         u = fac.solve(b)
         info = NewtonInfo(
             converged=jnp.asarray(True),
@@ -145,11 +187,15 @@ class VariationalPDEProblem:
         mask = jnp.asarray(self.bc.mask)
         g = jnp.asarray(self.bc.value, dtype=m.dtype)
         if u0 is None:
-            u0 = jnp.zeros(self.Vu.dim, dtype=m.dtype)
+            u0 = jnp.zeros(self.state_dim, dtype=m.dtype)
         u_init = jnp.where(mask, g, u0)
         r_init = self.residual_masked(u_init, m, z)
         r0n = jnp.linalg.norm(r_init)
-        tol = self.newton_atol + self.newton_rtol * r0n
+        # dtype-aware tolerance: the f64 default rtol is unreachable in f32
+        eps = jnp.finfo(m.dtype).eps
+        rtol = max(self.newton_rtol, 100.0 * float(eps))
+        atol = max(self.newton_atol, 10.0 * float(eps))
+        tol = atol + rtol * r0n
         alphas = 0.5 ** jnp.arange(self.n_line_search, dtype=m.dtype)
 
         def cond(state):
@@ -159,7 +205,7 @@ class VariationalPDEProblem:
         def body(state):
             u, r, it = state
             A = bc_symmetrize(self.bound.assemble_A(u, m, z), self.bc)
-            fac = factorize(A, self.form.symmetric)
+            fac = self._factorize(A)
             du = -fac.solve(r)
             rn = jnp.linalg.norm(r)
 
@@ -187,7 +233,7 @@ class VariationalPDEProblem:
         Reference: ``setLinearizationPoint`` assembling A/At and setting the
         incremental solvers (`setupPoissonControlProblem.py:209-233`)."""
         A = bc_symmetrize(self.bound.assemble_A(u, m, z), self.bc)
-        fac = factorize(A, self.form.symmetric)
+        fac = self._factorize(A)
         return Linearization(u=u, m=m, z=z, factor=fac)
 
     # -- incremental solves -------------------------------------------------

@@ -114,7 +114,16 @@ class BiLaplacianPrior(_GaussianPriorBase):
         # hippylib exposes the sqrt-precision operator as prior.A
         # (`KLEProjector.py:296`): keep the alias.
         self.A = K
-        self._K_chol = CholeskyFactor(L=jnp.linalg.cholesky(K))
+        # On structured meshes K is block-tridiagonal: block-Thomas replaces
+        # the dense Cholesky for all K-solves (sampling, Rsolver).
+        if Vh.mesh.structured_shape is not None:
+            from ..ops.structured import factorize_block_tridiag_dense
+
+            self._K_chol = factorize_block_tridiag_dense(
+                K, Vh.mesh.structured_shape[0] + 1
+            )
+        else:
+            self._K_chol = CholeskyFactor(L=jnp.linalg.cholesky(K))
         if mean is None:
             mean = jnp.zeros(Vh.dim, dtype=dtype)
         self.mean = jnp.asarray(mean, dtype=dtype)

@@ -66,7 +66,7 @@ def sample_until_solved(
     problem = observable.problem
     dtype = prior.mean.dtype
     if chunk_size is None:
-        chunk_size = auto_chunk_size(problem.Vu.dim, dtype)
+        chunk_size = auto_chunk_size(problem.state_dim, dtype)
     with_control = control_distribution is not None
 
     cache = _jit_cache(observable)
@@ -160,7 +160,7 @@ def materialize_jacobians(
         else ObservableJacobian(observable)
     )
     if chunk_size is None:
-        chunk_size = auto_chunk_size(problem.Vu.dim, ms.dtype)
+        chunk_size = auto_chunk_size(problem.state_dim, ms.dtype)
 
     cache = _jit_cache(observable)
     ck = ("materialize", control, zs is not None)

@@ -15,6 +15,12 @@ from .randomized import (
     double_pass_g,
     accuracy_enhanced_svd,
 )
+from .structured import (
+    BlockTridiagFactor,
+    extract_block_tridiag,
+    factorize_block_tridiag,
+    factorize_block_tridiag_dense,
+)
 from .operators import (
     dense_operator,
     low_rank_operator,

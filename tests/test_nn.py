@@ -1,0 +1,140 @@
+"""DIPNet/DIPResNet construction and training tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hippyflow_tpu.nn import (
+    accuracy,
+    gauss_newton_cg_step,
+    l2_loss,
+    make_h1_loss,
+    projected_dense,
+    projected_low_rank_residual_network,
+    train,
+)
+
+DM, DQ, RIN, ROUT = 40, 10, 6, 5
+
+
+@pytest.fixture(scope="module")
+def projectors():
+    key = jax.random.PRNGKey(0)
+    P, _ = jnp.linalg.qr(jax.random.normal(key, (DM, RIN)))
+    Phi, _ = jnp.linalg.qr(jax.random.normal(jax.random.PRNGKey(1), (DQ, ROUT)))
+    return np.asarray(P), np.asarray(Phi)
+
+
+@pytest.fixture(scope="module")
+def linear_map_data(projectors):
+    """Data from a reduced linear map q = Phi A P^T m (exactly representable)."""
+    P, Phi = projectors
+    A = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (ROUT, RIN)))
+    m = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (256, DM)))
+    q = m @ P @ A.T @ Phi.T
+    J = Phi @ A @ P.T  # constant Jacobian (dQ, dM)
+    return m, q, A, J
+
+
+def test_dipnet_initialization_uses_projectors(projectors):
+    P, Phi = projectors
+    model = projected_dense(P, Phi)
+    m = jnp.zeros((2, DM))
+    params = model.init(jax.random.PRNGKey(0), m)
+    # output layer kernel initialized to Phi^T
+    k = params["params"]["output_layer"]["kernel"]
+    np.testing.assert_allclose(np.asarray(k), Phi.T, rtol=1e-6)
+    out = model.apply(params, m)
+    assert out.shape == (2, DQ)
+
+
+def test_dipresnet_shapes(projectors):
+    P, Phi = projectors
+    model = projected_low_rank_residual_network(P, Phi, ranks=[3, 3])
+    m = jnp.ones((4, DM))
+    params = model.init(jax.random.PRNGKey(0), m)
+    assert model.apply(params, m).shape == (4, DQ)
+
+
+def test_training_reduces_loss(projectors, linear_map_data):
+    P, Phi = projectors
+    m, q, A, J = linear_map_data
+    model = projected_dense(P, Phi)
+    params, logger = train(
+        model, m, q, epochs=150, batch_size=64, learning_rate=3e-3, seed=0
+    )
+    assert logger["loss"][-1] < 0.1 * logger["loss"][0]
+    assert logger["val_acc"][-1] > logger["val_acc"][0]
+
+
+def test_h1_loss_zero_for_exact_linear_net(projectors, linear_map_data):
+    """A surrogate that *is* the linear map has zero H1 loss against the
+    exact Jacobian sketches."""
+    P, Phi = projectors
+    m, q, A, J = linear_map_data
+
+    def apply_fn(params, mm):
+        return mm @ J.T
+
+    h1 = make_h1_loss(apply_fn, P, Phi)
+    JstarPhi = np.repeat((J.T @ Phi)[None], 8, axis=0)  # (n, dM, rOut)
+    val = h1({}, jnp.asarray(m[:8]), jnp.asarray(JstarPhi))
+    assert float(val) < 1e-18
+
+    # and positive for a wrong map
+    def apply_wrong(params, mm):
+        return 2.0 * mm @ J.T
+
+    h1w = make_h1_loss(apply_wrong, P, Phi)
+    assert float(h1w({}, jnp.asarray(m[:8]), jnp.asarray(JstarPhi))) > 1e-3
+
+
+def test_h1_training_improves_jacobian_fit(projectors, linear_map_data):
+    P, Phi = projectors
+    m, q, A, J = linear_map_data
+    JstarPhi = np.repeat((J.T @ Phi)[None], m.shape[0], axis=0)
+    model = projected_dense(P, Phi)
+    params0 = model.init(jax.random.PRNGKey(1), jnp.asarray(m[:1]))
+    l2_before = float(l2_loss(model.apply, params0, m, q))
+    params, logger = train(
+        model,
+        m,
+        q,
+        JstarPhi_data=JstarPhi,
+        input_decoder=P,
+        output_encoder=Phi,
+        h1_weight=0.5,
+        epochs=60,
+        batch_size=64,
+        seed=1,
+    )
+    l2_after = float(l2_loss(model.apply, params, m, q))
+    assert np.isfinite(l2_after)
+    assert l2_after < l2_before
+
+
+def test_frozen_input_projection_is_constant(projectors, linear_map_data):
+    """The input projector is a module constant: training cannot change it
+    (keras trainable=False parity)."""
+    P, Phi = projectors
+    m, q, _, _ = linear_map_data
+    model = projected_dense(P, Phi)
+    params, _ = train(model, m, q, epochs=3, batch_size=64)
+    # P lives outside params entirely
+    flat = jax.tree_util.tree_leaves(params)
+    assert not any(l.shape == (DM, RIN) for l in flat)
+
+
+def test_gauss_newton_cg_step(projectors, linear_map_data):
+    import jax.flatten_util  # noqa: F401  (used inside)
+
+    P, Phi = projectors
+    m, q, _, _ = linear_map_data
+    model = projected_dense(P, Phi)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(m[:1]))
+    apply_fn = lambda p, mm: model.apply(p, mm)
+    l0 = float(l2_loss(apply_fn, params, m[:64], q[:64]))
+    p1 = gauss_newton_cg_step(apply_fn, params, jnp.asarray(m[:64]), jnp.asarray(q[:64]))
+    l1 = float(l2_loss(apply_fn, p1, m[:64], q[:64]))
+    assert l1 < l0
