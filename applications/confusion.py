@@ -13,16 +13,16 @@ with homogeneous Dirichlet BCs, 100 pointwise observations on a grid in
 
 Velocity field: the reference solves steady Navier-Stokes at Re=100 in a
 cavity driven up the left wall and down the right wall
-(`confusion_linear_observable.py:51-82`).  Round-1 TPU port uses the
-divergence-free single-cell stream-function vortex
+(`confusion_linear_observable.py:51-82`).  Two options here:
 
-    psi  = -(1/pi) sin(pi x) sin(pi y)
-    v    = (d psi/dy, -d psi/dx)
-         = (-sin(pi x) cos(pi y),  cos(pi x) sin(pi y))
-
-which matches the driven-cavity circulation direction and wall tangency
-(v.n = 0 on all walls; +y at x=0, -y at x=1).  TODO(round2): replace with a
-Taylor-Hood Newton solve of the steady NS system for exact parity.
+* velocity='navier_stokes' — solve the same steady NS problem with the
+  framework's stabilized P1 solver (applications/navier_stokes.py): parity
+  with the reference at a one-time setup cost;
+* velocity='analytic' (default) — the divergence-free single-cell
+  stream-function vortex psi = -(1/pi) sin(pi x) sin(pi y),
+  v = (-sin(pi x) cos(pi y), cos(pi x) sin(pi y)), which matches the
+  driven-cavity circulation direction and wall tangency (v.n = 0 on all
+  walls; +y at x=0, -y at x=1) without the setup solve.
 """
 
 from __future__ import annotations
@@ -45,8 +45,18 @@ from hippyflow_tpu.models import (
 )
 
 
-def confusion_velocity(V: FunctionSpace) -> np.ndarray:
-    """(n, 2) P1 dof values of the cavity-circulation velocity field."""
+def confusion_velocity(V: FunctionSpace, kind: str = "analytic") -> np.ndarray:
+    """(n, 2) P1 dof values of the cavity-circulation velocity field.
+
+    kind='navier_stokes': solve the reference's steady NS problem at Re=100
+    (`confusion_linear_observable.py:51-82`) — exact parity, one-time setup
+    cost. kind='analytic': the stream-function vortex described above."""
+    if kind == "navier_stokes":
+        from applications.navier_stokes import steady_navier_stokes
+
+        v, _, info = steady_navier_stokes(V, Re=100.0)
+        assert bool(info.converged), "NS velocity solve did not converge"
+        return np.asarray(v)
     x = V.dof_coords
     vx = -np.sin(np.pi * x[:, 0]) * np.cos(np.pi * x[:, 1])
     vy = np.cos(np.pi * x[:, 0]) * np.sin(np.pi * x[:, 1])
@@ -61,8 +71,10 @@ def confusion_source(V: FunctionSpace) -> np.ndarray:
     return np.maximum(0.5, blob)
 
 
-def confusion_form(V: FunctionSpace, c: float = 1.0, k: float = 0.01) -> GalerkinForm:
-    vel = confusion_velocity(V)
+def confusion_form(
+    V: FunctionSpace, c: float = 1.0, k: float = 0.01, velocity: str = "analytic"
+) -> GalerkinForm:
+    vel = confusion_velocity(V, kind=velocity)
     f = confusion_source(V)
     h = V.mesh.cell_diameters()
 
@@ -91,16 +103,19 @@ def confusion_linear_observable(
     c: float = 1.0,
     k: float = 0.01,
     newton_max_iter: int = 25,
+    velocity: str = "analytic",
 ):
     """Build the confusion observable (reference
-    `confusion_linear_observable.py:27-150`). Returns (observable, Vh)."""
+    `confusion_linear_observable.py:27-150`). Returns (observable, Vh).
+
+    velocity='navier_stokes' reproduces the reference's NS-computed field."""
     mesh = unit_square_mesh(nx)
     Vh = FunctionSpace(mesh)
     bc = DirichletBC.from_predicate(Vh, None, 0.0)
     pde = VariationalPDEProblem(
         Vh,
         Vh,
-        confusion_form(Vh, c=c, k=k),
+        confusion_form(Vh, c=c, k=k, velocity=velocity),
         bc,
         is_fwd_linear=False,
         newton_max_iter=newton_max_iter,

@@ -129,6 +129,11 @@ def sample_until_solved(
         if with_control:
             zs_out.append(z)
         remaining -= b
+        if verbose:
+            jax.block_until_ready(q)
+            print(
+                f"  sampled {n_samples - remaining}/{n_samples}", flush=True
+            )
 
     return SampleBatch(
         ms=jnp.concatenate(ms_out),

@@ -113,3 +113,31 @@ class TestHelmholtz:
         assert d.shape == (8,)
         assert bool((np.asarray(d) > 0).all())
         assert bool((np.diff(np.asarray(d)) <= 1e-12).all())
+
+
+class TestNavierStokes:
+    def test_cavity_circulation(self):
+        from applications.navier_stokes import steady_navier_stokes
+        from hippyflow_tpu.fem import FunctionSpace, unit_square_mesh
+
+        V = FunctionSpace(unit_square_mesh(12))
+        v, p, info = steady_navier_stokes(V, Re=100.0)
+        assert bool(info.converged)
+        x = V.dof_coords
+        left = x[:, 0] < 1e-12
+        np.testing.assert_allclose(np.asarray(v[left, 1]), 1.0, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(v[left, 0]), 0.0, atol=1e-10)
+        # interior circulation antisymmetric about x = 1/2
+        mid = np.abs(x[:, 1] - 0.5) < 0.05
+        lh = mid & (x[:, 0] > 0.1) & (x[:, 0] < 0.45)
+        rh = mid & (x[:, 0] > 0.55) & (x[:, 0] < 0.9)
+        assert float(np.asarray(v[lh, 1]).mean()) > 0.05
+        assert float(np.asarray(v[rh, 1]).mean()) < -0.05
+
+    def test_confusion_with_ns_velocity(self):
+        from applications.confusion import confusion_linear_observable, confusion_prior
+
+        obs, Vh = confusion_linear_observable(nx=10, velocity="navier_stokes")
+        prior = confusion_prior(Vh)
+        u, info = obs.problem.solve_fwd(prior.mean)
+        assert bool(info.converged)
