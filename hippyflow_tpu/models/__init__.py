@@ -37,7 +37,13 @@ from .sampling import (
     auto_chunk_size,
 )
 from .active_subspace import ActiveSubspaceProjector, ActiveSubspaceParameterList
-from .kle import KLEProjector, KLEParameterList
+from .kle import (
+    KLEProjector,
+    KLEParameterList,
+    KLESubspaceConstructor,
+    MassPreconditionedCovarianceOperator,
+    BoundaryRestrictedKLEProjector,
+)
 from .pod import (
     PODProjector,
     PODParameterList,

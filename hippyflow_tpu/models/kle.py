@@ -20,11 +20,27 @@ import time
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.linalg import generalized_eigh
-from ..ops.randomized import double_pass, double_pass_g, orthogonalize
+from ..fem import boundary_mass_matrix
+from ..ops.linalg import CholeskyFactor, generalized_eigh
+from ..ops.randomized import double_pass, double_pass_g, lanczos_ghep, orthogonalize
 from ..ops.operators import prior_preconditioned_projector, low_rank_operator
 from ..parallel import NullCollective
 from ..utils import ParameterList, KeyChain
+
+
+class MassPreconditionedCovarianceOperator:
+    """Block-operator M C M (reference `KLEProjector.py:47-69`): the prior
+    covariance preconditioned by the mass matrix, the GHEP left-hand side of
+    the mass-orthogonal KLE mode.  Exposes ``matmat`` on (n, j) blocks."""
+
+    def __init__(self, C_matmat, M_matmat):
+        self.C_matmat = C_matmat
+        self.M_matmat = M_matmat
+
+    def matmat(self, X):
+        return self.M_matmat(self.C_matmat(self.M_matmat(X)))
+
+    __call__ = matmat
 
 
 def KLEParameterList() -> ParameterList:
@@ -73,8 +89,9 @@ class KLEProjector:
 
         mode = orthogonality.lower()
         if mode == "mass":
-            # MassPreconditionedCovarianceOperator M C M (`KLEProjector.py:47-69`)
-            kle_op = lambda X: prior.M_matmat(prior.Rsolver_matmat(prior.M_matmat(X)))
+            kle_op = MassPreconditionedCovarianceOperator(
+                prior.Rsolver_matmat, prior.M_matmat
+            )
             self.d_KLE, self.V_KLE = double_pass_g(
                 kle_op, prior.M_matmat, prior.Msolver_matmat, Omega, r, s=1
             )
@@ -82,14 +99,8 @@ class KLEProjector:
             kle_decoder = self.V_KLE
             kle_encoder = prior.M_matmat(kle_decoder)
         elif mode == "prior":
-            # Exact GHEP K v = lambda M v; smallest lambda <-> largest
-            # covariance eigenvalue 1/lambda^2 (`KLEProjector.py:310-334`).
-            d_all, V_all = generalized_eigh(prior.A, prior.M, descending=False)
-            lam = d_all[:r]
-            V = V_all[:, :r]
-            self.d_KLE = 1.0 / lam**2
-            kle_decoder = V / lam[None, :]
-            kle_encoder = prior.R_matmat(kle_decoder)
+            constructor = KLESubspaceConstructor(prior)
+            self.d_KLE, kle_decoder, kle_encoder = constructor.compute_kle_subspace(r)
             self.V_KLE = kle_decoder
             self.M_orthogonal = False
         elif mode == "identity":
@@ -151,3 +162,91 @@ class KLEProjector:
             np.asarray(self.V_KLE),
         )
         np.save(os.path.join(outdir, "KLE_d"), np.asarray(self.d_KLE))
+
+
+class KLESubspaceConstructor:
+    """Prior-orthonormal KLE basis from the GHEP  A v = lambda M v on the
+    prior's elliptic operator.
+
+    TPU-native replacement for the reference's `KLESubspaceConstructorSLEPc`
+    (`KLEProjector.py:285-334`, Krylov-Schur + shift-and-invert at 0): for
+    small problems a dense generalized eigendecomposition; beyond
+    ``dense_cutoff`` dofs a shift-invert Lanczos (`ops.randomized.lanczos_ghep`)
+    reusing the prior's Cholesky of A as the inverse.  Covariance eigenvalues
+    are 1/lambda^2; decoder columns are scaled by 1/lambda so that the decoder
+    is C^{-1}-orthonormal; encoder = R @ decoder."""
+
+    def __init__(self, prior, dense_cutoff: int = 2048):
+        assert hasattr(prior, "A") and hasattr(prior, "M")
+        self.prior = prior
+        self.dense_cutoff = dense_cutoff
+
+    def compute_kle_subspace(self, rank: int):
+        """Returns (covariance eigenvalues (rank,), decoder, encoder)."""
+        prior = self.prior
+        if prior.dim <= self.dense_cutoff:
+            d_all, V_all = generalized_eigh(prior.A, prior.M, descending=False)
+            lam = d_all[:rank]
+            V = V_all[:, :rank]
+        else:
+            v0 = jnp.ones(prior.dim, dtype=prior.mean.dtype)
+            # A^{-1}: K-solve for the BiLaplacian (A = K), R-solve for the
+            # Laplacian prior (A = R).
+            Ainv = getattr(prior, "Ksolver_matmat", None) or prior.Rsolver_matmat
+            lam, V = lanczos_ghep(
+                Ainv, prior.M_matmat, v0, rank, m_iters=2 * rank + 20
+            )
+        covariance_eigenvalues = 1.0 / lam**2
+        kle_decoder = V / lam[None, :]
+        kle_encoder = prior.R_matmat(kle_decoder)
+        return covariance_eigenvalues, kle_decoder, kle_encoder
+
+
+class BoundaryRestrictedKLEProjector:
+    """Prior-based KLE projector for boundary data (reference
+    `KLEProjector.py:337-434`): GHEP of the boundary-mass-preconditioned
+    covariance M_b C M_b against the nullspace-filled boundary mass B =
+    M_b + I_interior, solved with doublePassG.  The decoder is B-orthonormal
+    and supported (up to the covariance's smoothing) on boundary dofs;
+    encoder = M_b @ decoder."""
+
+    def __init__(self, prior, parameters: ParameterList | None = None):
+        self.prior = prior
+        self.parameters = parameters or KLEParameterList()
+        self.keychain = KeyChain(self.parameters["seed"])
+        self.Vh = prior.Vh
+
+        self.M_b = self.make_boundary_restricted_mass_matrix(fill_nullspace=False)
+        self.B = self.make_boundary_restricted_mass_matrix(fill_nullspace=True)
+        self._B_chol = CholeskyFactor(L=jnp.linalg.cholesky(self.B))
+        self.KLE_operator = MassPreconditionedCovarianceOperator(
+            prior.Rsolver_matmat, lambda X: self.M_b @ X
+        )
+
+    def make_boundary_restricted_mass_matrix(self, fill_nullspace: bool = False):
+        """Boundary mass matrix int_dOmega u v ds; with ``fill_nullspace`` the
+        zero interior diagonal is replaced by the identity so the matrix is
+        invertible (reference `KLEProjector.py:364-398`)."""
+        Mb = boundary_mass_matrix(self.Vh, dtype=self.prior.mean.dtype)
+        if fill_nullspace:
+            interior = jnp.isclose(jnp.diag(Mb), 0.0).astype(Mb.dtype)
+            Mb = Mb + jnp.diag(interior)
+        return Mb
+
+    def construct_input_subspace(self):
+        """Returns (d, decoder, encoder); decoder B-orthonormal."""
+        rank = self.parameters["rank"]
+        oversampling = self.parameters["oversampling"]
+        Omega = self.keychain.normal(
+            (self.prior.dim, rank + oversampling), dtype=self.prior.mean.dtype
+        )
+        d_KLE, decoder = double_pass_g(
+            self.KLE_operator,
+            lambda X: self.B @ X,
+            self._B_chol.solve,
+            Omega,
+            rank,
+            s=1,
+        )
+        encoder = self.M_b @ decoder
+        return d_KLE, decoder, encoder

@@ -18,10 +18,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fem import mass_matrix
+from ..fem import mass_matrix, stiffness_matrix
 from ..ops.linalg import CholeskyFactor, eigh_descending, generalized_eigh
 from ..ops.randomized import double_pass
-from ..ops.operators import low_rank_operator
+from ..ops.operators import low_rank_operator, prior_preconditioned_projector
 from ..parallel import NullCollective
 from ..utils import ParameterList, KeyChain
 from .sampling import sample_until_solved
@@ -141,6 +141,110 @@ class PODProjector:
         np.savez_compressed(out_path, **payload)
         self._data_generation_time = time.time() - t0
         return m_data, q_data
+
+    def save_mass_and_stiffness_matrices(self, output_directory=None):
+        """Save the state-space mass and stiffness matrices as scipy CSR npz
+        (reference `PODProjector.py:298-327` artifact schema: mass_csr.npz,
+        stiffness_csr.npz)."""
+        import scipy.sparse as sp
+
+        outdir = output_directory or self.parameters["output_directory"]
+        assert outdir is not None, "set output_directory"
+        os.makedirs(outdir, exist_ok=True)
+        Vu = self.observable.problem.Vu
+        M = np.asarray(mass_matrix(Vu))
+        K = np.asarray(stiffness_matrix(Vu))
+        sp.save_npz(os.path.join(outdir, "mass_csr"), sp.csr_matrix(M))
+        sp.save_npz(os.path.join(outdir, "stiffness_csr"), sp.csr_matrix(K))
+
+    def two_state_solution(self, output_directory=None):
+        """Solve at the prior mean and at one prior sample; save both
+        parameter/state pairs under two_states/ (reference
+        `PODProjector.py:481-537`, .npy instead of .pvd)."""
+        outdir = output_directory or self.parameters["output_directory"]
+        assert outdir is not None, "set output_directory"
+        save_dir = os.path.join(outdir, "two_states")
+        os.makedirs(save_dir, exist_ok=True)
+
+        m_mean = self.prior.mean
+        z = None
+        if self.control_distribution is not None:
+            if hasattr(self.control_distribution, "mean"):
+                z = self.control_distribution.mean
+            else:
+                z = self.control_distribution.sample_n(self.keychain.next_key(), 1)[0]
+        u_at_mean, _ = self.observable.problem.solve_fwd(m_mean, z=z)
+        if self.parameters["verbose"]:
+            print(f"||m_mean|| = {float(jnp.linalg.norm(m_mean)):.6e}")
+            print(f"||u_at_mean|| = {float(jnp.linalg.norm(u_at_mean)):.6e}")
+
+        noise = self.keychain.normal((1, self.prior.noise_dim), dtype=m_mean.dtype)
+        m_sample = self.prior.sample(noise)[0]
+        u_at_sample, _ = self.observable.problem.solve_fwd(m_sample, z=z)
+        if self.parameters["verbose"]:
+            print(f"||m_sample|| = {float(jnp.linalg.norm(m_sample)):.6e}")
+            print(f"||u_at_sample|| = {float(jnp.linalg.norm(u_at_sample)):.6e}")
+
+        np.save(os.path.join(save_dir, "m_mean"), np.asarray(m_mean))
+        np.save(os.path.join(save_dir, "u_at_mean"), np.asarray(u_at_mean))
+        np.save(os.path.join(save_dir, "m_sample"), np.asarray(m_sample))
+        np.save(os.path.join(save_dir, "u_at_sample"), np.asarray(u_at_sample))
+        return (m_mean, u_at_mean), (m_sample, u_at_sample)
+
+    def input_output_error_test(self, V, Cinv_matmat=None, rank_pairs=((8, 8),)):
+        """Joint input/output projection error test (reference
+        `PODProjector.py:541-654`): project m onto the first rank_in columns
+        of V, re-solve the forward map at the projected parameter, project the
+        output onto the first rank_out POD vectors, and report the relative
+        error  ||q(m) - U U^T q(P m)|| / ||q(m)||  over MC samples.
+
+        V: (dM, >=max rank_in) input decoder; Cinv_matmat makes the input
+        projector prior-preconditioned (V V^T C^{-1}); rank_pairs: list of
+        (rank_in, rank_out).  Returns (avg list, std list)."""
+        assert self.control_distribution is None, "not worked out for control"
+        assert self.U_MV is not None and self.d is not None, "construct_subspace first"
+        V = jnp.asarray(V)
+        for rank_in, rank_out in rank_pairs:
+            assert rank_in <= V.shape[1]
+            assert rank_out <= self.U_MV.shape[1]
+
+        n = self.parameters["sample_per_process"]
+        self._ensure_samples(n)
+        ms = self.samples.ms[:n]
+        qs = self.samples.qs[:n]
+        problem = self.observable.problem
+
+        cache = getattr(self, "_io_error_cache", None)
+        if cache is None:
+
+            def resolve(m_proj):
+                u, info = problem.solve_fwd(m_proj)
+                return self.observable.evalu(u)
+
+            cache = jax.jit(jax.vmap(resolve))
+            self._io_error_cache = cache
+
+        avg, std = [], []
+        for rank_in, rank_out in rank_pairs:
+            Vr = V[:, :rank_in]
+            if Cinv_matmat is not None:
+                proj = prior_preconditioned_projector(Vr, Cinv_matmat)
+            else:
+                proj = low_rank_operator(jnp.ones(rank_in, dtype=V.dtype), Vr)
+            m_proj = proj(ms.T).T
+            q_red = cache(m_proj)
+            U = self.U_MV[:, :rank_out]
+            q_out = (U @ (U.T @ q_red.T)).T
+            errs = jnp.linalg.norm(qs - q_out, axis=1) / jnp.linalg.norm(qs, axis=1)
+            avg.append(self.collective.allReduce(float(errs.mean()), "avg"))
+            std.append(
+                float(np.sqrt(self.collective.allReduce(float(errs.std()) ** 2, "avg")))
+            )
+            if self.parameters["verbose"]:
+                print(
+                    f"Rank pair ({rank_in},{rank_out}): avg rel error = {avg[-1]:.4e}"
+                )
+        return avg, std
 
     def test_output_errors(self, ranks=(8, 16, 32, 64), n_samples: int | None = None):
         """MC relative projection error of fresh observable samples onto the

@@ -14,6 +14,7 @@ from .randomized import (
     double_pass,
     double_pass_g,
     accuracy_enhanced_svd,
+    lanczos_ghep,
 )
 from .structured import (
     BlockTridiagFactor,

@@ -18,6 +18,7 @@ modest block sizes (rank + oversampling <~ 512) used here.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
@@ -95,6 +96,64 @@ def double_pass_g(A_matmat, B_matmat, Binv_matmat, Omega, k: int, s: int = 1):
     d, V = eigh_descending(T)
     U = Q @ V[:, :k]
     return d[:k], U
+
+
+def lanczos_ghep(Ainv_matmat, B_matmat, v0, k: int, m_iters: int | None = None):
+    """Smallest-eigenpair GHEP  A v = lambda B v  via shift-invert Lanczos.
+
+    TPU-native replacement for the reference's SLEPc Krylov-Schur
+    shift-and-invert solve at shift 0 (`hippyflow/modeling/KLEProjector.py:
+    296-316`): Lanczos on T = A^{-1} B, which is self-adjoint in the B inner
+    product, with full reorthogonalization (one block matmul per iteration —
+    MXU-resident, numerically equivalent to Krylov-Schur's restarts at these
+    subspace sizes). Eigenvalues of T are 1/lambda, so its largest Ritz pairs
+    are the smallest GHEP eigenpairs.
+
+    Args:
+        Ainv_matmat: applies A^{-1} to an (n, j) block.
+        B_matmat: applies B to an (n, j) block.
+        v0: (n,) start vector (nonzero).
+        k: number of requested eigenpairs.
+        m_iters: Krylov dimension (default 2k + 10, capped at n).
+
+    Returns (lam (k,) ascending, V (n, k)) with V B-orthonormal.
+    """
+    n = v0.shape[0]
+    m = min(m_iters or (2 * k + 10), n)
+    dtype = v0.dtype
+
+    Bv0 = B_matmat(v0[:, None])[:, 0]
+    v0 = v0 / jnp.sqrt(v0 @ Bv0)
+
+    def step(carry, j):
+        V, BV, beta_prev = carry
+        vj = V[:, j]
+        w = Ainv_matmat(B_matmat(vj[:, None]))[:, 0]
+        alpha = w @ BV[:, j]
+        # full reorthogonalization in the B inner product (two sweeps)
+        for _ in range(2):
+            w = w - V @ (BV.T @ w)
+        Bw = B_matmat(w[:, None])[:, 0]
+        beta = jnp.sqrt(jnp.maximum(w @ Bw, jnp.finfo(dtype).tiny))
+        v_next = w / beta
+        V = V.at[:, j + 1].set(v_next)
+        BV = BV.at[:, j + 1].set(Bw / beta)
+        return (V, BV, beta), (alpha, beta)
+
+    V = jnp.zeros((n, m + 1), dtype=dtype).at[:, 0].set(v0)
+    BV = jnp.zeros((n, m + 1), dtype=dtype).at[:, 0].set(B_matmat(v0[:, None])[:, 0])
+    (V, BV, _), (alphas, betas) = jax.lax.scan(
+        step, (V, BV, jnp.zeros((), dtype)), jnp.arange(m)
+    )
+    T = (
+        jnp.diag(alphas)
+        + jnp.diag(betas[:-1], 1)
+        + jnp.diag(betas[:-1], -1)
+    )
+    theta, Y = eigh_descending(T)  # theta ~ 1/lambda, descending
+    lam = 1.0 / theta[:k]
+    Vk = V[:, :m] @ Y[:, :k]
+    return lam, Vk
 
 
 def accuracy_enhanced_svd(A_matmat, At_matmat, Omega, k: int, s: int = 1):

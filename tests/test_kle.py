@@ -106,3 +106,75 @@ def test_random_input_projector(kle):
     Q = proj.random_input_projector()
     k = Q.shape[1]
     assert float(jnp.abs(Q.T @ Q - jnp.eye(k)).max()) < 1e-12
+
+
+def test_lanczos_matches_dense(kle):
+    """Shift-invert Lanczos GHEP (the SLEPc Krylov-Schur replacement,
+    `KLEProjector.py:296-316`) agrees with the dense generalized eigensolver
+    on the dominant covariance eigenpairs."""
+    from hippyflow_tpu.models import KLESubspaceConstructor
+
+    _, prior = kle
+    r = 12
+    dense = KLESubspaceConstructor(prior, dense_cutoff=10**9)
+    d_dense, dec_dense, enc_dense = dense.compute_kle_subspace(r)
+    lanczos = KLESubspaceConstructor(prior, dense_cutoff=0)
+    d_lan, dec_lan, enc_lan = lanczos.compute_kle_subspace(r)
+    np.testing.assert_allclose(
+        np.asarray(d_lan), np.asarray(d_dense), rtol=1e-8
+    )
+    # decoder columns agree up to sign
+    cos = np.abs(np.sum(np.asarray(dec_lan) * np.asarray(dec_dense), axis=0))
+    norms = np.linalg.norm(np.asarray(dec_lan), axis=0) * np.linalg.norm(
+        np.asarray(dec_dense), axis=0
+    )
+    np.testing.assert_allclose(cos / norms, 1.0, atol=1e-8)
+    # decoder/encoder bi-orthogonality
+    m = np.asarray(dec_lan.T @ enc_lan)
+    assert np.linalg.norm(m - np.eye(r), "fro") / np.sqrt(r) < FRO_TOL
+
+
+def test_boundary_restricted_kle(kle):
+    """BoundaryRestrictedKLEProjector invariants (`KLEProjector.py:337-434`):
+    B-orthonormal decoder, encoder = M_b decoder, eigen-residual of
+    M_b C M_b v = d B v."""
+    from hippyflow_tpu.models import BoundaryRestrictedKLEProjector, KLEParameterList
+
+    _, prior = kle
+    params = KLEParameterList()
+    r = params["rank"] = 16
+    params["verbose"] = False
+    proj = BoundaryRestrictedKLEProjector(prior, parameters=params)
+    d, decoder, encoder = proj.construct_input_subspace()
+    assert d.shape == (r,)
+    assert bool((np.diff(np.asarray(d)) <= 1e-12).all())
+    # decoder B-orthonormal
+    orth = np.asarray(decoder.T @ (proj.B @ decoder))
+    assert np.linalg.norm(orth - np.eye(r), "fro") / np.sqrt(r) < FRO_TOL
+    # encoder relation
+    assert (
+        float(jnp.linalg.norm(proj.M_b @ decoder - encoder))
+        / float(jnp.linalg.norm(encoder))
+        < FRO_TOL
+    )
+    # eigenvalue parity with a dense GHEP of (M_b C M_b, B): the boundary
+    # spectrum decays slowly, so the s=1 randomized tail residual sits at
+    # ~3e-3 (same algebra as the reference's hp.doublePassG); the dominant
+    # eigenvalues themselves must agree with the dense solve.
+    n = prior.dim
+    Op_dense = np.asarray(proj.KLE_operator(jnp.eye(n)))
+    d_exact, _ = __import__("scipy.linalg", fromlist=["eigh"]).eigh(
+        0.5 * (Op_dense + Op_dense.T), np.asarray(proj.B)
+    )
+    d_exact = d_exact[::-1]
+    rel = np.abs(np.asarray(d[:4]) - d_exact[:4]) / d_exact[0]
+    assert float(rel.max()) < 1e-4
+    Op = proj.KLE_operator(decoder)
+    Bx = proj.B @ decoder
+    res = jnp.linalg.norm(Op - Bx * d[None, :]) / jnp.linalg.norm(Op)
+    assert float(res) < 1e-2
+    # interior fill: B differs from M_b exactly on the zero-diagonal dofs
+    interior = np.isclose(np.diag(np.asarray(proj.M_b)), 0.0)
+    diff = np.asarray(proj.B - proj.M_b)
+    np.testing.assert_allclose(np.diag(diff)[interior], 1.0)
+    np.testing.assert_allclose(np.diag(diff)[~interior], 0.0)

@@ -114,3 +114,74 @@ def test_sampled_pod_projector():
     assert bool((np.diff(np.asarray(d)) <= 1e-12).all())  # descending
     avg, std = pod.test_output_errors(ranks=(2, 8, 12))
     assert avg[0] >= avg[1] >= avg[2] - 1e-12
+
+
+def test_pod_auxiliary_methods(tmp_path):
+    """two_state_solution, save_mass_and_stiffness_matrices, and
+    input_output_error_test (`PODProjector.py:298-327,481-654`)."""
+    import scipy.sparse as sp
+
+    from hippyflow_tpu.fem import (
+        DirichletBC,
+        GalerkinForm,
+        mass_matrix,
+        stiffness_matrix,
+    )
+    from hippyflow_tpu.models import (
+        BiLaplacianPrior,
+        KLEParameterList,
+        KLEProjector,
+        PODParameterList,
+        PODProjector,
+        VariationalPDEProblem,
+    )
+    from hippyflow_tpu.testing import poisson_pointwise_observable
+
+    Vh = FunctionSpace(unit_square_mesh(10))
+    bc = DirichletBC.from_predicate(Vh, None, 0.0)
+    form = GalerkinForm(
+        flux=lambda x, u, gu, m, z, c: jnp.exp(m) * gu,
+        source=lambda x, u, gu, m, z, c: -1.0,
+    )
+    pde = VariationalPDEProblem(Vh, Vh, form, bc, is_fwd_linear=True)
+    prior = BiLaplacianPrior(Vh, gamma=0.1, delta=1.0)
+    obs = poisson_pointwise_observable(pde, Vh, n_obs=20)
+    params = PODParameterList()
+    params["sample_per_process"] = 24
+    params["rank"] = 10
+    params["verbose"] = False
+    params["output_directory"] = str(tmp_path)
+
+    # control-free projector for the error test
+    pod = PODProjector(obs, prior, parameters=params)
+    pod.construct_subspace()
+
+    # two_state_solution artifacts
+    (m_mean, u_mean), (m_s, u_s) = pod.two_state_solution()
+    for name in ["m_mean", "u_at_mean", "m_sample", "u_at_sample"]:
+        arr = np.load(tmp_path / "two_states" / f"{name}.npy")
+        assert np.isfinite(arr).all()
+    assert u_mean.shape == m_mean.shape
+
+    # mass/stiffness CSR artifacts match the dense assemblers
+    pod.save_mass_and_stiffness_matrices()
+    M_csr = sp.load_npz(tmp_path / "mass_csr.npz")
+    K_csr = sp.load_npz(tmp_path / "stiffness_csr.npz")
+    np.testing.assert_allclose(
+        M_csr.toarray(), np.asarray(mass_matrix(pde.Vu)), atol=1e-14
+    )
+    np.testing.assert_allclose(
+        K_csr.toarray(), np.asarray(stiffness_matrix(pde.Vu)), atol=1e-12
+    )
+
+    # input/output error test: error decreases as both ranks grow
+    kle_params = KLEParameterList()
+    kle_params["rank"] = 10
+    kle_params["verbose"] = False
+    kle = KLEProjector(prior, parameters=kle_params)
+    _, V_kle, _ = kle.construct_input_subspace("identity")
+    avg, std = pod.input_output_error_test(
+        V_kle, rank_pairs=[(2, 2), (10, 10)]
+    )
+    assert avg[0] >= avg[1] - 1e-12
+    assert len(std) == 2
