@@ -86,7 +86,11 @@ def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str):
     # second pass measures steady-state execution. (The reference's timers
     # likewise exclude code generation: FFC forms are compiled and cached
     # before its timed sections.)
-    chunk = min(int(os.environ.get("BENCH_CHUNK", 32)), n_samples)
+    # chunk size: 0/unset -> auto (library picks from the factorization
+    # memory footprint; the banded block-tridiag path allows large chunks)
+    chunk = int(os.environ.get("BENCH_CHUNK", 0)) or None
+    if chunk is not None:
+        chunk = min(chunk, n_samples)
     params["chunk_size"] = chunk
     log("warmup pass (compiles all programs) ...")
     t0 = time.time()

@@ -17,6 +17,8 @@ from .assembly import (
     boundary_mass_matrix,
     mask_residual,
     bc_symmetrize,
+    band_bc_masks,
+    bc_symmetrize_banded,
     bc_zero_rows,
     bc_apply_rhs,
 )

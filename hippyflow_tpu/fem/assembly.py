@@ -194,6 +194,44 @@ class BoundGalerkinForm:
         A = jnp.zeros((self.n, self.n), dtype=vals_e.dtype)
         return A.at[rows.reshape(-1), cols.reshape(-1)].add(vals_e.reshape(-1))
 
+    # -- banded (block-tridiagonal) assembly ---------------------------------
+    def _band_indices(self, s: int):
+        """Static scatter indices mapping element-matrix entries into the
+        (nb, s, 3s) block-tridiagonal band layout: band[j, i, o*s + i2] =
+        A[j*s + i, (j + o - 1)*s + i2].  Valid on structured row-major meshes
+        where every coupling satisfies |row(g1) - row(g2)| <= 1."""
+        if getattr(self, "_band_idx_cache", None) is None:
+            self._band_idx_cache = {}
+        if s not in self._band_idx_cache:
+            from . import native
+
+            cells = np.asarray(self.cells)
+            idx = native.band_indices(cells, s)
+            if idx is None:  # numpy fallback
+                g1 = np.repeat(cells, 3, axis=1).reshape(-1)  # rows, (nc*9,)
+                g2 = np.tile(cells, (1, 3)).reshape(-1)  # cols
+                o = g2 // s - g1 // s + 1
+                assert ((o >= 0) & (o <= 2)).all(), (
+                    "mesh numbering is not block-tridiagonal at this block size"
+                )
+                idx = g1 * (3 * s) + o * s + (g2 % s)
+            # cached as numpy: converting per call keeps the constant local to
+            # whichever trace is running (a cached tracer would leak)
+            self._band_idx_cache[s] = idx
+        return jnp.asarray(self._band_idx_cache[s])
+
+    def assemble_A_banded(self, u, m, z, s: int):
+        """dr/du in block-tridiagonal band storage (nb, s, 3s): the memory-
+        and bandwidth-lean path for structured meshes — O(n s) instead of the
+        dense O(n^2), which is what lets sample chunks be large on-chip."""
+        k = jax.jacfwd(self._r_elem, argnums=0)
+        A_e = self._per_cell(k, u, m, z)  # (nc, 3, 3)
+        idx = self._band_indices(s)
+        flat = jax.ops.segment_sum(
+            A_e.reshape(-1), idx, num_segments=self.n * 3 * s
+        )
+        return flat.reshape(self.n // s, s, 3 * s)
+
 
 # ---------------------------------------------------------------------------
 # Canonical matrices
@@ -304,6 +342,38 @@ def bc_symmetrize(A, bc: DirichletBC):
     keep = (~mask).astype(A.dtype)
     A = A * keep[:, None] * keep[None, :]
     return A + jnp.diag(mask.astype(A.dtype))
+
+
+def band_bc_masks(bc: DirichletBC, s: int, dtype=None):
+    """Static (keep_row (nb,s,1), keep_col (nb,1,3s), diag (nb,s,3s)) masks
+    implementing bc_symmetrize on the (nb, s, 3s) band layout of
+    ``assemble_A_banded``."""
+    dtype = dtype or config.default_dtype()
+    mask = np.asarray(bc.mask)
+    n = mask.shape[0]
+    nb = n // s
+    keep = (~mask).astype(dtype).reshape(nb, s)
+    keep_row = keep[:, :, None]  # (nb, s, 1)
+    # column (j, o*s + i2) refers to global dof (j + o - 1)*s + i2
+    keep_col = np.ones((nb, 3 * s), dtype=dtype)
+    for o in range(3):
+        jj = np.arange(nb) + o - 1
+        valid = (jj >= 0) & (jj < nb)
+        keep_col[valid, o * s : (o + 1) * s] = keep[jj[valid]]
+        keep_col[~valid, o * s : (o + 1) * s] = 0.0
+    diag = np.zeros((nb, s, 3 * s), dtype=dtype)
+    ii = np.arange(s)
+    diag[:, ii, s + ii] = mask.reshape(nb, s).astype(dtype)
+    # returned as numpy so callers may cache them across jit traces
+    return keep_row, keep_col[:, None, :], diag
+
+
+def bc_symmetrize_banded(band, keep_row, keep_col, diag):
+    """Apply precomputed band_bc_masks: zero constrained rows/cols in band
+    storage and put ones on their diagonal."""
+    return (
+        band * jnp.asarray(keep_row) * jnp.asarray(keep_col) + jnp.asarray(diag)
+    )
 
 
 def bc_zero_rows(Mat, bc: DirichletBC):

@@ -79,25 +79,28 @@ def rectangle_mesh(
     X, Y = np.meshgrid(xs, ys, indexing="xy")  # shape (ny+1, nx+1)
     vertices = np.stack([X.ravel(), Y.ravel()], axis=1).astype(np.float64)
 
-    def vid(i, j):
-        return j * (nx + 1) + i
+    if diagonal == "crossed":
+        raise NotImplementedError("crossed diagonal not supported")
+    if diagonal not in ("right", "left"):
+        raise ValueError(f"unknown diagonal {diagonal!r}")
 
-    cells = []
-    for j in range(ny):
-        for i in range(nx):
-            v00, v10 = vid(i, j), vid(i + 1, j)
-            v01, v11 = vid(i, j + 1), vid(i + 1, j + 1)
-            if diagonal == "right":
-                cells.append([v00, v10, v11])
-                cells.append([v00, v11, v01])
-            elif diagonal == "left":
-                cells.append([v00, v10, v01])
-                cells.append([v10, v11, v01])
-            elif diagonal == "crossed":
-                raise NotImplementedError("crossed diagonal not supported")
-            else:
-                raise ValueError(f"unknown diagonal {diagonal!r}")
-    cells = np.asarray(cells, dtype=np.int32)
+    from . import native
+
+    cells = native.build_rectangle_cells(nx, ny, diagonal)
+    if cells is None:  # numpy fallback (vectorized)
+        ii, jj = np.meshgrid(np.arange(nx), np.arange(ny), indexing="xy")
+        v00 = (jj * (nx + 1) + ii).ravel()
+        v10, v01 = v00 + 1, v00 + (nx + 1)
+        v11 = v01 + 1
+        if diagonal == "right":
+            tris = np.stack(
+                [np.stack([v00, v10, v11], 1), np.stack([v00, v11, v01], 1)], 1
+            )
+        else:
+            tris = np.stack(
+                [np.stack([v00, v10, v01], 1), np.stack([v10, v11, v01], 1)], 1
+            )
+        cells = tris.reshape(-1, 3).astype(np.int32)
 
     eps = 1e-12 * max(abs(x1 - x0), abs(y1 - y0), 1.0)
     bm = (
@@ -128,6 +131,11 @@ def boundary_edges(mesh: Mesh2D) -> np.ndarray:
     boundary mass matrices (Robin terms of the BiLaplacian prior and the
     boundary-restricted KLE of `hippyflow/modeling/KLEProjector.py:364`).
     """
+    from . import native
+
+    out = native.boundary_edges(mesh.cells)
+    if out is not None:
+        return out
     c = mesh.cells
     edges = np.concatenate([c[:, [0, 1]], c[:, [1, 2]], c[:, [2, 0]]], axis=0)
     key = np.sort(edges, axis=1)

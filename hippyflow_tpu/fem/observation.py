@@ -25,6 +25,17 @@ def locate_points(space: FunctionSpace, targets: np.ndarray, tol: float = 1e-10)
     """
     mesh = space.mesh
     targets = np.atleast_2d(np.asarray(targets, dtype=np.float64))
+
+    from . import native
+
+    located = native.locate_points(mesh.vertices, mesh.cells, targets, tol=tol)
+    if located is not None:
+        cell_ids, weights = located
+        if (cell_ids < 0).any():
+            bad = targets[np.argmax(cell_ids < 0)]
+            raise ValueError(f"target point {bad} is outside the mesh")
+        return cell_ids, weights
+
     x = mesh.vertices[mesh.cells]  # (nc, 3, 2)
     x0, x1, x2 = x[:, 0], x[:, 1], x[:, 2]
     # Affine barycentric solve: lambda1, lambda2 from 2x2 system per cell.

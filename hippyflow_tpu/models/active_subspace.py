@@ -43,6 +43,7 @@ from ..utils import ParameterList, KeyChain
 from .jacobian import ObservableJacobian, jtj_matmat, jjt_matmat
 from .sampling import (
     SampleBatch,
+    _jit_cache,
     linearize_batch,
     materialize_jacobians,
     sample_until_solved,
@@ -256,19 +257,61 @@ class ActiveSubspaceProjector:
         else:
             Omega = self.Omega_GN
 
+        # One jitted program for the whole randomized GHEP: eager dispatch of
+        # the ~50 constituent ops costs a separate XLA compile per op over the
+        # TPU tunnel (minutes); a single jit compiles once and lets XLA fuse.
         if prior_preconditioned:
-            self.d_GN, self.V_GN = double_pass_g(
-                avg_JTJ,
-                self.prior.R_matmat,
-                self.prior.Rsolver_matmat,
-                Omega,
-                r,
-                s=1,
-            )
-            as_decoder = self.V_GN
-            as_encoder = self.prior.R_matmat(as_decoder)
+            if self.Js is not None:
+                cache = _jit_cache(self.observable)
+                ck = ("ghep_in", id(self.prior), r, self.Js.shape, Omega.shape)
+                if ck not in cache:
+                    prior = self.prior
+
+                    def run(J, Om):
+                        avg = lambda X: (
+                            jnp.einsum(
+                                "sqm,sqk->mk", J, jnp.einsum("sqm,mk->sqk", J, X)
+                            )
+                            / J.shape[0]
+                        )
+                        d, V = double_pass_g(
+                            avg, prior.R_matmat, prior.Rsolver_matmat, Om, r, s=1
+                        )
+                        return d, V, prior.R_matmat(V)
+
+                    cache[ck] = jax.jit(run)
+                self.d_GN, self.V_GN, as_encoder = cache[ck](self.Js, Omega)
+                as_decoder = self.V_GN
+            else:
+                self.d_GN, self.V_GN = double_pass_g(
+                    avg_JTJ,
+                    self.prior.R_matmat,
+                    self.prior.Rsolver_matmat,
+                    Omega,
+                    r,
+                    s=1,
+                )
+                as_decoder = self.V_GN
+                as_encoder = self.prior.R_matmat(as_decoder)
         else:
-            self.d_GN, self.V_GN = double_pass(avg_JTJ, Omega, r, s=1)
+            if self.Js is not None:
+                cache = _jit_cache(self.observable)
+                ck = ("hep_in", r, self.Js.shape, Omega.shape)
+                if ck not in cache:
+
+                    def run_hep(J, Om):
+                        avg = lambda X: (
+                            jnp.einsum(
+                                "sqm,sqk->mk", J, jnp.einsum("sqm,mk->sqk", J, X)
+                            )
+                            / J.shape[0]
+                        )
+                        return double_pass(avg, Om, r, s=1)
+
+                    cache[ck] = jax.jit(run_hep)
+                self.d_GN, self.V_GN = cache[ck](self.Js, Omega)
+            else:
+                self.d_GN, self.V_GN = double_pass(avg_JTJ, Omega, r, s=1)
             as_decoder = self.V_GN
             as_encoder = as_decoder
         self.prior_preconditioned = prior_preconditioned
@@ -298,7 +341,24 @@ class ActiveSubspaceProjector:
                 self.Omega_NG = Omega
         else:
             Omega = self.Omega_NG
-        self.d_NG, self.U_NG = double_pass(avg_JJT, Omega, r, s=1)
+        if self.Js is not None:
+            cache = _jit_cache(self.observable)
+            ck = ("hep_out", r, self.Js.shape, Omega.shape)
+            if ck not in cache:
+
+                def run(J, Om):
+                    avg = lambda X: (
+                        jnp.einsum(
+                            "sqm,smk->qk", J, jnp.einsum("spm,pk->smk", J, X)
+                        )
+                        / J.shape[0]
+                    )
+                    return double_pass(avg, Om, r, s=1)
+
+                cache[ck] = jax.jit(run)
+            self.d_NG, self.U_NG = cache[ck](self.Js, Omega)
+        else:
+            self.d_NG, self.U_NG = double_pass(avg_JJT, Omega, r, s=1)
         output_decoder = self.U_NG
         output_encoder = output_decoder
         self._output_subspace_construction_time = time.time() - t0

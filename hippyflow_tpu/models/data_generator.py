@@ -85,7 +85,9 @@ class DataGenerator:
         os.makedirs(chunk_dir, exist_ok=True)
         has_z = self.control_distribution is not None
         chunk_size = self.settings["chunk_size"] or auto_chunk_size(
-            self.observable.problem.state_dim, self.prior.mean.dtype
+            self.observable.problem.state_dim,
+            self.prior.mean.dtype,
+            problem=self.observable.problem,
         )
 
         if output_decoder is not None and output_encoder is None:
@@ -239,7 +241,9 @@ class DataGenerator:
         chunk_dir = os.path.join(data_dir, "chunks_J")
         os.makedirs(chunk_dir, exist_ok=True)
         chunk_size = self.settings["chunk_size"] or auto_chunk_size(
-            self.observable.problem.state_dim, m_data.dtype
+            self.observable.problem.state_dim,
+            m_data.dtype,
+            problem=self.observable.problem,
         )
         N = m_data.shape[0]
         for s in range(0, N, chunk_size):

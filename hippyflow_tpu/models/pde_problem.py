@@ -30,12 +30,14 @@ from ..fem import (
     DirichletBC,
     GalerkinForm,
     FunctionSpace,
+    band_bc_masks,
     bc_apply_rhs,
     bc_symmetrize,
+    bc_symmetrize_banded,
     mask_residual,
 )
 from ..ops.linalg import factorize
-from ..ops.structured import factorize_block_tridiag_dense
+from ..ops.structured import factorize_block_tridiag_banded
 
 STATE, PARAMETER, ADJOINT, CONTROL = 0, 1, 2, 3
 
@@ -111,6 +113,8 @@ class VariationalPDEProblem:
         )
         if self._use_block_tridiag:
             self._block_size = Vu.mesh.structured_shape[0] + 1
+            # static band-layout bc masks (computed lazily: dtype-dependent)
+            self._band_bc_cache = {}
         self.bc = bc
         assert bc.mask.shape[0] == self.state_dim, (
             "DirichletBC mask length must match the (stacked) state dimension"
@@ -142,9 +146,22 @@ class VariationalPDEProblem:
         assert self.has_control
         return jnp.zeros(self.control_dim, dtype=dtype or config.default_dtype())
 
-    def _factorize(self, A):
+    def _assemble_factorize(self, u, m, z):
+        """Assemble the bc-symmetrized A = dr/du at (u, m, z) and factorize.
+
+        Structured path: banded assembly -> band bc -> block-Thomas, O(n s)
+        memory; no dense matrix is ever formed.  Dense path: dense assembly ->
+        bc_symmetrize -> LU/Cholesky."""
         if self._use_block_tridiag:
-            return factorize_block_tridiag_dense(A, self._block_size)
+            s = self._block_size
+            band = self.bound.assemble_A_banded(u, m, z, s)
+            masks = self._band_bc_cache.get(str(band.dtype))
+            if masks is None:
+                masks = band_bc_masks(self.bc, s, dtype=band.dtype)
+                self._band_bc_cache[str(band.dtype)] = masks
+            band = bc_symmetrize_banded(band, *masks)
+            return factorize_block_tridiag_banded(band)
+        A = bc_symmetrize(self.bound.assemble_A(u, m, z), self.bc)
         return factorize(A, self.form.symmetric)
 
     # -- residual ------------------------------------------------------------
@@ -168,13 +185,18 @@ class VariationalPDEProblem:
 
     def _solve_linear(self, m, z):
         zero = jnp.zeros(self.state_dim, dtype=m.dtype)
-        A = self.bound.assemble_A(zero, m, z)
         b = -self.bound.residual(zero, m, z)
         if self.rhs_vector is not None:
             b = b + self.rhs_vector
-        b = bc_apply_rhs(b, self.bc, A)
-        A_bc = bc_symmetrize(A, self.bc)
-        fac = self._factorize(A_bc)
+        # inhomogeneous-bc lift b -= A g computed matrix-free (jvp), so the
+        # banded path never forms a dense A
+        mask = jnp.asarray(self.bc.mask)
+        g = jnp.where(mask, jnp.asarray(self.bc.value, dtype=m.dtype), 0.0)
+        lift = jax.jvp(
+            lambda uu: self.bound.residual(uu, m, z), (zero,), (g,)
+        )[1]
+        b = jnp.where(mask, g, b - lift)
+        fac = self._assemble_factorize(zero, m, z)
         u = fac.solve(b)
         info = NewtonInfo(
             converged=jnp.asarray(True),
@@ -204,8 +226,7 @@ class VariationalPDEProblem:
 
         def body(state):
             u, r, it = state
-            A = bc_symmetrize(self.bound.assemble_A(u, m, z), self.bc)
-            fac = self._factorize(A)
+            fac = self._assemble_factorize(u, m, z)
             du = -fac.solve(r)
             rn = jnp.linalg.norm(r)
 
@@ -232,8 +253,7 @@ class VariationalPDEProblem:
 
         Reference: ``setLinearizationPoint`` assembling A/At and setting the
         incremental solvers (`setupPoissonControlProblem.py:209-233`)."""
-        A = bc_symmetrize(self.bound.assemble_A(u, m, z), self.bc)
-        fac = self._factorize(A)
+        fac = self._assemble_factorize(u, m, z)
         return Linearization(u=u, m=m, z=z, factor=fac)
 
     # -- incremental solves -------------------------------------------------

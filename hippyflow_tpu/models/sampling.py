@@ -22,12 +22,22 @@ from .jacobian import ObservableJacobian, ObservableControlJacobian
 from .observable import LinearStateObservable
 
 
-def auto_chunk_size(state_dim: int, dtype=None, memory_gb: float = 2.0) -> int:
-    """Largest sample-batch whose dense factorizations fit the budget."""
+def auto_chunk_size(
+    state_dim: int, dtype=None, memory_gb: float = 2.0, problem=None
+) -> int:
+    """Largest sample-batch whose factorizations fit the memory budget.
+
+    Dense path: 3 n^2 bytes/sample (A + factor + slack).  Structured banded
+    path (block-tridiagonal Thomas): ~16 n s bytes/sample (band + D/L/B +
+    LU'd diagonal + solve temporaries) — n/s-fold smaller, so chunks grow by
+    the same factor and the MXU sees far larger batched matmuls."""
     dtype = dtype or config.default_dtype()
     itemsize = jnp.dtype(dtype).itemsize
-    per_sample = 3.0 * state_dim * state_dim * itemsize  # A + factor + slack
-    return max(1, int(memory_gb * 1e9 / per_sample))
+    if problem is not None and getattr(problem, "_use_block_tridiag", False):
+        per_sample = 16.0 * state_dim * problem._block_size * itemsize
+    else:
+        per_sample = 3.0 * state_dim * state_dim * itemsize
+    return max(1, min(4096, int(memory_gb * 1e9 / per_sample)))
 
 
 def _jit_cache(obj):
@@ -66,7 +76,7 @@ def sample_until_solved(
     problem = observable.problem
     dtype = prior.mean.dtype
     if chunk_size is None:
-        chunk_size = auto_chunk_size(problem.state_dim, dtype)
+        chunk_size = auto_chunk_size(problem.state_dim, dtype, problem=problem)
     with_control = control_distribution is not None
 
     cache = _jit_cache(observable)
@@ -165,7 +175,7 @@ def materialize_jacobians(
         else ObservableJacobian(observable)
     )
     if chunk_size is None:
-        chunk_size = auto_chunk_size(problem.state_dim, ms.dtype)
+        chunk_size = auto_chunk_size(problem.state_dim, ms.dtype, problem=problem)
 
     cache = _jit_cache(observable)
     ck = ("materialize", control, zs is not None)

@@ -21,6 +21,7 @@ from .structured import (
     extract_block_tridiag,
     factorize_block_tridiag,
     factorize_block_tridiag_dense,
+    factorize_block_tridiag_banded,
 )
 from .operators import (
     dense_operator,

@@ -148,3 +148,15 @@ def factorize_block_tridiag_dense(A, s: int) -> BlockTridiagFactor:
     """Factorize a dense block-tridiagonal matrix with block size s."""
     D, L_A, B = extract_block_tridiag(A, s)
     return factorize_block_tridiag(D, L_A, B)
+
+
+def factorize_block_tridiag_banded(band) -> BlockTridiagFactor:
+    """Factorize from (nb, s, 3s) band storage (fem.assemble_A_banded):
+    columns [0, s) are the subdiagonal blocks, [s, 2s) the diagonal,
+    [2s, 3s) the superdiagonal.  Skips the dense matrix entirely — assembly,
+    factorization and solves all stay O(n s) in memory."""
+    s = band.shape[1]
+    L_A = band[:, :, :s]
+    D = band[:, :, s : 2 * s]
+    B = band[:, :, 2 * s :]
+    return factorize_block_tridiag(D, L_A, B)

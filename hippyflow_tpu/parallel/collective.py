@@ -88,6 +88,36 @@ class DeviceCollective:
         return jnp.mean(x, axis=axis)
 
 
+class CollectiveOperator:
+    """Operator whose every application is reduced across the collective —
+    the sample-averaged operator fed to eigensolvers (reference
+    `collectives/collectiveOperator.py:14-55`).
+
+    Wraps a *local* matmat/operator; with a DeviceCollective the wrapped
+    matmat is expected to consume sample-sharded arrays, so the reduction is
+    the jnp mean XLA already emits and `allReduce` is the identity — the
+    class exists for structural parity and for custom collectives."""
+
+    def __init__(self, op, collective, mpi_op: str = "avg"):
+        self.op = op if callable(op) else op.matmat
+        self.collective = collective
+        self.mpi_op = mpi_op
+
+    def matmat(self, X):
+        return self.collective.allReduce(self.op(X), self.mpi_op)
+
+    mult = matmat  # reference naming
+    __call__ = matmat
+
+
+class MatrixMultCollectiveOperator(CollectiveOperator):
+    """Block-interface twin of CollectiveOperator (reference
+    `collectives/collectiveOperator.py:58-97`).  In this framework every
+    operator is already a block matmat, so it is an alias kept for parity."""
+
+    matMvMult = CollectiveOperator.matmat
+
+
 def make_sample_fem_mesh(n_sample: int, n_fem: int = 1) -> Mesh:
     """2D ('sample', 'fem') device mesh — the analog of the reference's
     splitCommunicators process grid (`collectives/comm_utils.py:19-40`)."""
