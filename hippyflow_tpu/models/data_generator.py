@@ -142,6 +142,15 @@ class DataGenerator:
                 )
 
             np.savez(os.path.join(chunk_dir, f"chunk_{i}_{i + b}.npz"), **payload)
+            if self.settings["save_failed_solves"] and batch.failed_ms is not None:
+                # archive nonconverged parameters (reference skipped/
+                # directory, `dataGenerator.py:232-241`)
+                skipped_dir = os.path.join(data_dir, "skipped")
+                os.makedirs(skipped_dir, exist_ok=True)
+                np.save(
+                    os.path.join(skipped_dir, f"m_failed_{i}_{i + b}.npy"),
+                    batch.failed_ms,
+                )
             if self.settings["verbose"]:
                 rate = (i + b - start) / (time.time() - t0)
                 print(f"samples [{i}, {i + b}) done ({rate:.2f} samples/s)")

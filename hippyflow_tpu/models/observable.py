@@ -109,12 +109,38 @@ class DomainRestrictedOperator:
 
 
 class LinearStateObservable:
-    """q(m[, z]) = B u(m[, z]) (reference: `observable.py:66-323`)."""
+    """q(m[, z]) = B u(m[, z]) (reference: `observable.py:66-323`).
 
-    def __init__(self, problem: VariationalPDEProblem, B):
+    parameter_projection: optional (dM,) indicator (or projector matrix)
+    restricting the parameter sensitivity to a subdomain before C is applied
+    — the reference's optional projection in applyC/applyCt
+    (`observable.py:263-297`)."""
+
+    def __init__(self, problem: VariationalPDEProblem, B, parameter_projection=None):
         self.problem = problem
         self.B = B
         self.is_control_problem = problem.has_control
+        self.parameter_projection = (
+            None
+            if parameter_projection is None
+            else jnp.asarray(parameter_projection)
+        )
+
+    def _project_parameter(self, dm):
+        P = self.parameter_projection
+        if P is None:
+            return dm
+        if P.ndim == 1:  # indicator mask
+            return _scale_rows(dm, P)
+        return P @ dm
+
+    def _project_parameter_t(self, g):
+        P = self.parameter_projection
+        if P is None:
+            return g
+        if P.ndim == 1:
+            return _scale_rows(g, P)
+        return P.T @ g
 
     @property
     def dQ(self) -> int:
@@ -151,10 +177,10 @@ class LinearStateObservable:
         return self.B.applyt(q)
 
     def applyC(self, lin: Linearization, dm):
-        return self.problem.apply_C(lin, dm)
+        return self.problem.apply_C(lin, self._project_parameter(dm))
 
     def applyCt(self, lin: Linearization, dp):
-        return self.problem.apply_Ct(lin, dp)
+        return self._project_parameter_t(self.problem.apply_Ct(lin, dp))
 
     def applyCz(self, lin: Linearization, dz):
         return self.problem.apply_Cz(lin, dz)

@@ -37,7 +37,10 @@ from ..fem import (
     mask_residual,
 )
 from ..ops.linalg import factorize
-from ..ops.structured import factorize_block_tridiag_banded
+from ..ops.structured import (
+    factorize_block_cyclic_banded,
+    factorize_block_tridiag_banded,
+)
 
 STATE, PARAMETER, ADJOINT, CONTROL = 0, 1, 2, 3
 
@@ -100,16 +103,23 @@ class VariationalPDEProblem:
             self.state_dim = Vu.dim
 
         # solver selection: on structured rectangle meshes with scalar state
-        # the linearized operator is block-tridiagonal (row-major numbering)
-        # and the O(nb s^3) block-Thomas factorization replaces dense LU
-        # (ops/structured.py). 'dense' forces the dense path.
-        assert solver in ("auto", "dense", "block_tridiag")
+        # the linearized operator is block-tridiagonal (row-major numbering).
+        # 'block_cyclic' (the structured default): cyclic reduction — log2(nb)
+        # levels of large batched inverses/matmuls, the latency-optimal TPU
+        # schedule.  'block_tridiag': sequential block-Thomas (same algebra,
+        # nb-step scan).  'dense': dense LU/Cholesky.
+        assert solver in ("auto", "dense", "block_tridiag", "block_cyclic")
         scalar = self.state_dim == Vu.dim
         structured = Vu.mesh.structured_shape is not None
-        if solver == "block_tridiag":
-            assert scalar and structured, "block_tridiag needs a structured scalar problem"
+        if solver in ("block_tridiag", "block_cyclic"):
+            assert scalar and structured, f"{solver} needs a structured scalar problem"
         self._use_block_tridiag = (
-            solver in ("auto", "block_tridiag") and scalar and structured
+            solver in ("auto", "block_tridiag", "block_cyclic")
+            and scalar
+            and structured
+        )
+        self._structured_solver = (
+            "block_tridiag" if solver == "block_tridiag" else "block_cyclic"
         )
         if self._use_block_tridiag:
             self._block_size = Vu.mesh.structured_shape[0] + 1
@@ -146,12 +156,14 @@ class VariationalPDEProblem:
         assert self.has_control
         return jnp.zeros(self.control_dim, dtype=dtype or config.default_dtype())
 
-    def _assemble_factorize(self, u, m, z):
+    def _assemble_factorize(self, u, m, z, with_transpose: bool = True):
         """Assemble the bc-symmetrized A = dr/du at (u, m, z) and factorize.
 
-        Structured path: banded assembly -> band bc -> block-Thomas, O(n s)
-        memory; no dense matrix is ever formed.  Dense path: dense assembly ->
-        bc_symmetrize -> LU/Cholesky."""
+        Structured path: banded assembly -> band bc -> cyclic reduction (or
+        block-Thomas), O(n s) memory; no dense matrix is ever formed.  Dense
+        path: dense assembly -> bc_symmetrize -> LU/Cholesky.
+        with_transpose=False skips the A^T factorization on the cyclic path
+        (Newton forward solves never need adjoints)."""
         if self._use_block_tridiag:
             s = self._block_size
             band = self.bound.assemble_A_banded(u, m, z, s)
@@ -160,6 +172,10 @@ class VariationalPDEProblem:
                 masks = band_bc_masks(self.bc, s, dtype=band.dtype)
                 self._band_bc_cache[str(band.dtype)] = masks
             band = bc_symmetrize_banded(band, *masks)
+            if self._structured_solver == "block_cyclic":
+                return factorize_block_cyclic_banded(
+                    band, with_transpose=with_transpose
+                )
             return factorize_block_tridiag_banded(band)
         A = bc_symmetrize(self.bound.assemble_A(u, m, z), self.bc)
         return factorize(A, self.form.symmetric)
@@ -196,7 +212,7 @@ class VariationalPDEProblem:
             lambda uu: self.bound.residual(uu, m, z), (zero,), (g,)
         )[1]
         b = jnp.where(mask, g, b - lift)
-        fac = self._assemble_factorize(zero, m, z)
+        fac = self._assemble_factorize(zero, m, z, with_transpose=False)
         u = fac.solve(b)
         info = NewtonInfo(
             converged=jnp.asarray(True),
@@ -226,7 +242,7 @@ class VariationalPDEProblem:
 
         def body(state):
             u, r, it = state
-            fac = self._assemble_factorize(u, m, z)
+            fac = self._assemble_factorize(u, m, z, with_transpose=False)
             du = -fac.solve(r)
             rn = jnp.linalg.norm(r)
 

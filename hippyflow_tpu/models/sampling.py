@@ -55,6 +55,9 @@ class SampleBatch:
     qs: jax.Array  # (n, dQ)
     zs: jax.Array | None  # (n, dZ) or None
     n_failures: int
+    # parameters whose forward solve did not converge (resampled lanes),
+    # for the reference's skipped/-archive (`dataGenerator.py:232-241`)
+    failed_ms: np.ndarray | None = None
 
 
 def sample_until_solved(
@@ -97,6 +100,7 @@ def sample_until_solved(
     solve_chunk = cache[ck]
 
     ms_out, us_out, qs_out, zs_out = [], [], [], []
+    failed_ms = []
     n_failures = 0
     remaining = n_samples
     while remaining > 0:
@@ -112,6 +116,7 @@ def sample_until_solved(
                 break
             bad = np.where(~ok)[0]
             n_failures += len(bad)
+            failed_ms.append(np.asarray(m[bad]))
             if verbose:
                 print(f"resampling {len(bad)} failed forward solves")
             noise2 = keychain.normal((len(bad), prior.noise_dim), dtype=dtype)
@@ -151,6 +156,7 @@ def sample_until_solved(
         qs=jnp.concatenate(qs_out),
         zs=jnp.concatenate(zs_out) if with_control else None,
         n_failures=n_failures,
+        failed_ms=np.concatenate(failed_ms) if failed_ms else None,
     )
 
 

@@ -18,10 +18,13 @@ from .randomized import (
 )
 from .structured import (
     BlockTridiagFactor,
+    BlockCyclicFactor,
     extract_block_tridiag,
     factorize_block_tridiag,
     factorize_block_tridiag_dense,
     factorize_block_tridiag_banded,
+    factorize_block_cyclic,
+    factorize_block_cyclic_banded,
 )
 from .operators import (
     dense_operator,

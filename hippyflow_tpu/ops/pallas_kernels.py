@@ -1,0 +1,128 @@
+"""Pallas TPU kernels for the structured-solver hot ops.
+
+``batched_inverse`` is the innermost operation of the cyclic-reduction
+factorization (`ops/structured.py`): every reduction level inverts a large
+batch of small (block) matrices.  XLA's LU-based ``jnp.linalg.inv`` issues a
+sequential pivoting loop per matrix and measures ~30us per 65x65 inverse on
+v5e (<0.1% utilization).  This kernel runs Gauss-Jordan elimination *without
+pivoting* on a VMEM-resident tile of matrices: the s-step elimination loop
+lives inside one kernel, each step is a rank-1 update over the whole tile
+(pure VPU work), and there is no per-step dispatch or HBM traffic.
+
+No pivoting is safe here: cyclic reduction feeds it the (shifted) diagonal
+blocks of assembled second-order FEM operators with Dirichlet rows
+symmetrized to the identity — strongly diagonally dominant.  Callers that
+cannot guarantee this should use ``jnp.linalg.inv``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _gj_kernel(a_ref, out_ref):
+    A = a_ref[...]  # (tb, s, s)
+    s = A.shape[-1]
+    Inv = jnp.broadcast_to(jnp.eye(s, dtype=A.dtype), A.shape)
+
+    def step(k, carry):
+        A, Inv = carry
+        # ek_row: (1, s, 1) one-hot on the row axis (2D+ iota for TPU)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, s, 1), 1)
+        ek_row = (row_ids == k).astype(A.dtype)
+        ek_col = jnp.swapaxes(ek_row, 1, 2)  # (1, 1, s)
+
+        rowk = jnp.sum(A * ek_row, axis=1, keepdims=True)  # (tb, 1, s)
+        pivot = jnp.sum(rowk * ek_col, axis=2, keepdims=True)  # (tb, 1, 1)
+        inv_piv = 1.0 / pivot
+        rowk_n = rowk * inv_piv
+        irowk_n = jnp.sum(Inv * ek_row, axis=1, keepdims=True) * inv_piv
+        colk = jnp.sum(A * ek_col, axis=2, keepdims=True)  # (tb, s, 1)
+
+        not_k = 1.0 - ek_row  # (1, s, 1)
+        A = (A - colk * rowk_n) * not_k + ek_row * rowk_n
+        Inv = (Inv - colk * irowk_n) * not_k + ek_row * irowk_n
+        return A, Inv
+
+    _, Inv = jax.lax.fori_loop(0, s, step, (A, Inv))
+    out_ref[...] = Inv
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def _batched_inverse_pallas(X, tile: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, s, _ = X.shape
+    n_pad = (-N) % tile
+    if n_pad:
+        eye = jnp.broadcast_to(jnp.eye(s, dtype=X.dtype), (n_pad, s, s))
+        X = jnp.concatenate([X, eye], axis=0)
+    grid = (X.shape[0] // tile,)
+    out = pl.pallas_call(
+        _gj_kernel,
+        out_shape=jax.ShapeDtypeStruct(X.shape, X.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, s, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, s, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * X.shape[0] * s**3),
+            bytes_accessed=int(2 * X.size * X.dtype.itemsize),
+            transcendentals=0,
+        ),
+    )(X)
+    return out[:N] if n_pad else out
+
+
+def _auto_tile(s: int, itemsize: int) -> int:
+    """Largest power-of-two tile fitting the kernel's live set in VMEM.
+    Mosaic pads (s, s) to (ceil8(s), 128) lanes for f32; the kernel keeps
+    ~8 tile-sized buffers alive (in/out blocks, two loop carries, update
+    temporaries), so budget 12MB / 8 buffers."""
+    sub = -(-s // 8) * 8
+    lane = max(128, -(-s // 128) * 128)
+    per_matrix = 8 * sub * lane * itemsize
+    t = max(1, int(12e6 / per_matrix))
+    return 1 << (t.bit_length() - 1)
+
+
+def batched_inverse(X, force: str | None = None):
+    """Inverses of a batch of small square matrices: (N, s, s) -> (N, s, s).
+
+    On TPU uses the Pallas Gauss-Jordan kernel (no pivoting — see module
+    docstring); elsewhere (or with force='xla') falls back to
+    ``jnp.linalg.inv``.  force='pallas' runs the kernel in interpret mode on
+    non-TPU backends (tests)."""
+    X = jnp.asarray(X)
+    N, s, s2 = X.shape
+    assert s == s2, "square matrices required"
+    backend = jax.default_backend()
+    use_pallas = force == "pallas" or (force is None and backend == "tpu" and s <= 256)
+    if not use_pallas:
+        return jnp.linalg.inv(X)
+    if backend != "tpu":  # interpret-mode path for tests
+        from jax.experimental import pallas as pl
+
+        tile = min(8, N)
+        n_pad = (-N) % tile
+        if n_pad:
+            eye = jnp.broadcast_to(jnp.eye(s, dtype=X.dtype), (n_pad, s, s))
+            X = jnp.concatenate([X, eye], axis=0)
+        out = pl.pallas_call(
+            _gj_kernel,
+            out_shape=jax.ShapeDtypeStruct(X.shape, X.dtype),
+            grid=(X.shape[0] // tile,),
+            in_specs=[pl.BlockSpec((tile, s, s), lambda i: (i, 0, 0))],
+            out_specs=pl.BlockSpec((tile, s, s), lambda i: (i, 0, 0)),
+            interpret=True,
+        )(X)
+        return out[: N]
+    return _batched_inverse_pallas(X, _auto_tile(s, X.dtype.itemsize))

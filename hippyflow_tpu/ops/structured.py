@@ -160,3 +160,203 @@ def factorize_block_tridiag_banded(band) -> BlockTridiagFactor:
     D = band[:, :, s : 2 * s]
     B = band[:, :, 2 * s :]
     return factorize_block_tridiag(D, L_A, B)
+
+
+# ---------------------------------------------------------------------------
+# Block cyclic reduction
+# ---------------------------------------------------------------------------
+#
+# Block-Thomas is sequential in the nb block rows: its scan issues nb tiny
+# batched LU/solve/matmul ops, which measures at <0.1% FLOP utilization on
+# TPU — the chip is latency-bound on the 64-step chain.  Cyclic reduction
+# restructures the same elimination into ceil(log2(nb)) *levels*; each level
+# inverts and multiplies ALL its blocks in one large batched call, so the
+# sequential depth drops from nb to log2(nb) while every op is a big batched
+# matmul/inverse that keeps the MXU busy.  ~2x the flops of Thomas, an
+# order of magnitude less wall-clock at these block counts.
+#
+# Scheme per level (blocks a_j x_{j-1} + d_j x_j + b_j x_{j+1} = f_j):
+# eliminate the odd-indexed unknowns; for even j = 2k the reduced system is
+#   a'_k = -alpha_k a_{j-1},   b'_k = -beta_k b_{j+1},
+#   d'_k = d_j - alpha_k b_{j-1} - beta_k a_{j+1},
+#   f'_k = f_j - alpha_k f_{j-1} - beta_k f_{j+1},
+# with alpha_k = a_j inv(d_{j-1}), beta_k = b_j inv(d_{j+1}).
+# Back-substitution recovers odd unknowns from even neighbors:
+#   x_j = inv(d_j) (f_j - a_j x_{j-1} - b_j x_{j+1}).
+
+
+def _block_inv(X):
+    """Batched small-matrix inverse: Pallas Gauss-Jordan kernel on TPU
+    (ops/pallas_kernels.py), jnp.linalg.inv elsewhere."""
+    from .pallas_kernels import batched_inverse
+
+    return batched_inverse(X)
+
+
+class _CRLevel(NamedTuple):
+    Dinv_odd: jax.Array  # (n_odd, s, s) inverses of eliminated diagonals
+    alpha: jax.Array  # (n_even, s, s)
+    beta: jax.Array  # (n_even, s, s)
+    a_odd: jax.Array  # (n_odd, s, s) original subdiagonals at odd rows
+    b_odd: jax.Array  # (n_odd, s, s) original superdiagonals at odd rows
+
+
+def _pad_front(x, pad_block):
+    return jnp.concatenate([pad_block[None], x], axis=0)
+
+
+def _pad_back(x, pad_block):
+    return jnp.concatenate([x, pad_block[None]], axis=0)
+
+
+def _cr_reduce(a, d, b):
+    """One cyclic-reduction level. Returns (_CRLevel, (a', d', b'))."""
+    n, s = d.shape[0], d.shape[1]
+    n_even = (n + 1) // 2
+    eye = jnp.eye(s, dtype=d.dtype)
+    zero = jnp.zeros((s, s), dtype=d.dtype)
+
+    a_odd, d_odd, b_odd = a[1::2], d[1::2], b[1::2]
+    Dinv_odd = _block_inv(d_odd)  # one big batched inverse
+
+    # neighbor tables for even rows j = 2k (zero/identity padding encodes
+    # the missing j-1 at k=0 and missing j+1 at the last odd-length row;
+    # the corresponding a_0 / b_{n-1} are zero, so the pads never leak)
+    Dm1 = _pad_front(Dinv_odd, eye)[:n_even]
+    Dp1 = _pad_back(Dinv_odd, eye)[:n_even]
+    am1 = _pad_front(a_odd, zero)[:n_even]
+    bm1 = _pad_front(b_odd, zero)[:n_even]
+    ap1 = _pad_back(a_odd, zero)[:n_even]
+    bp1 = _pad_back(b_odd, zero)[:n_even]
+
+    a_e, d_e, b_e = a[0::2], d[0::2], b[0::2]
+    alpha = jnp.einsum("kij,kjl->kil", a_e, Dm1)
+    beta = jnp.einsum("kij,kjl->kil", b_e, Dp1)
+    d_new = (
+        d_e
+        - jnp.einsum("kij,kjl->kil", alpha, bm1)
+        - jnp.einsum("kij,kjl->kil", beta, ap1)
+    )
+    a_new = -jnp.einsum("kij,kjl->kil", alpha, am1)
+    b_new = -jnp.einsum("kij,kjl->kil", beta, bp1)
+    level = _CRLevel(
+        Dinv_odd=Dinv_odd, alpha=alpha, beta=beta, a_odd=a_odd, b_odd=b_odd
+    )
+    return level, (a_new, d_new, b_new)
+
+
+class BlockCyclicFactor(NamedTuple):
+    """Cyclic-reduction factorization of a block-tridiagonal matrix.
+
+    ``trans_levels``/``Dinv_root_T`` hold the factorization of A^T (built
+    from the transposed band) when adjoint solves are requested."""
+
+    levels: tuple  # of _CRLevel, coarsening by ~2x each entry
+    Dinv_root: jax.Array  # (s, s)
+    trans_levels: tuple | None
+    Dinv_root_T: jax.Array | None
+
+    @property
+    def s(self):
+        return self.Dinv_root.shape[-1]
+
+    def solve(self, rhs, trans: bool = False):
+        """Solve A x = rhs (or A^T x = rhs). rhs: (n,) or (n, k)."""
+        levels = self.trans_levels if trans else self.levels
+        Dinv_root = self.Dinv_root_T if trans else self.Dinv_root
+        assert levels is not None, (
+            "factorized without with_transpose=True; adjoint solves unavailable"
+        )
+        squeeze = rhs.ndim == 1
+        if squeeze:
+            rhs = rhs[:, None]
+        s = self.s
+        f = rhs.reshape(-1, s, rhs.shape[-1])  # (nb, s, k)
+        zerov = jnp.zeros((s, f.shape[-1]), dtype=f.dtype)
+
+        # down sweep: reduce rhs level by level
+        fs = [f]
+        for lv in levels:
+            fm1 = _pad_front(f[1::2], zerov)[: lv.alpha.shape[0]]
+            fp1 = _pad_back(f[1::2], zerov)[: lv.alpha.shape[0]]
+            f = (
+                f[0::2]
+                - jnp.einsum("kij,kjl->kil", lv.alpha, fm1)
+                - jnp.einsum("kij,kjl->kil", lv.beta, fp1)
+            )
+            fs.append(f)
+
+        # root solve
+        x = jnp.einsum("ij,kjl->kil", Dinv_root, f)  # (1, s, k)
+
+        # up sweep: interleave odd unknowns back in
+        for lv, f_l in zip(reversed(levels), reversed(fs[:-1])):
+            n_even = x.shape[0]
+            n_odd = lv.Dinv_odd.shape[0]
+            n = n_even + n_odd
+            x_p1 = _pad_back(x[1:], zerov) if n_even > 1 else jnp.broadcast_to(
+                zerov, (1, s, x.shape[-1])
+            )
+            x_p1 = x_p1[:n_odd]
+            x_m1 = x[:n_odd]
+            f_odd = f_l[1::2]
+            rhs_odd = (
+                f_odd
+                - jnp.einsum("kij,kjl->kil", lv.a_odd, x_m1)
+                - jnp.einsum("kij,kjl->kil", lv.b_odd, x_p1)
+            )
+            x_odd = jnp.einsum("kij,kjl->kil", lv.Dinv_odd, rhs_odd)
+            merged = jnp.zeros((n, s, x.shape[-1]), dtype=x.dtype)
+            merged = merged.at[0::2].set(x)
+            merged = merged.at[1::2].set(x_odd)
+            x = merged
+
+        out = x.reshape(-1, rhs.shape[-1])
+        return out[:, 0] if squeeze else out
+
+
+def _transpose_band(a, d, b):
+    """Band of A^T: (A^T)_{j,j-1} = b_{j-1}^T, diag d_j^T,
+    (A^T)_{j,j+1} = a_{j+1}^T."""
+    zero = jnp.zeros_like(d[0])
+    bT = jnp.swapaxes(b, -1, -2)
+    aT = jnp.swapaxes(a, -1, -2)
+    a_t = _pad_front(bT[:-1], zero)
+    b_t = _pad_back(aT[1:], zero)
+    return a_t, jnp.swapaxes(d, -1, -2), b_t
+
+
+def factorize_block_cyclic(D, L_A, B, with_transpose: bool = True) -> BlockCyclicFactor:
+    """Cyclic-reduction factorization from the three block diagonals.
+
+    with_transpose also factorizes A^T (needed for adjoint/incremental
+    solves); Newton forward solves can skip it."""
+
+    def run(a, d, b):
+        levels = []
+        while d.shape[0] > 1:
+            lv, (a, d, b) = _cr_reduce(a, d, b)
+            levels.append(lv)
+        return tuple(levels), _block_inv(d)[0]
+
+    levels, Dinv_root = run(L_A, D, B)
+    trans_levels, Dinv_root_T = (None, None)
+    if with_transpose:
+        trans_levels, Dinv_root_T = run(*_transpose_band(L_A, D, B))
+    return BlockCyclicFactor(
+        levels=levels,
+        Dinv_root=Dinv_root,
+        trans_levels=trans_levels,
+        Dinv_root_T=Dinv_root_T,
+    )
+
+
+def factorize_block_cyclic_banded(band, with_transpose: bool = True) -> BlockCyclicFactor:
+    """Cyclic reduction from (nb, s, 3s) band storage."""
+    s = band.shape[1]
+    return factorize_block_cyclic(
+        band[:, :, s : 2 * s],
+        band[:, :, :s],
+        band[:, :, 2 * s :],
+        with_transpose=with_transpose,
+    )

@@ -153,3 +153,60 @@ def test_resume(setup, tmp_path):
     mzq = np.load(data_dir + "mzq_data.npz")
     assert mzq["m_data"].shape[0] == 12
     assert n_chunks_before == 2
+
+
+def test_failed_solve_archival(tmp_path):
+    """Nonconverged samples are resampled and their parameters archived to
+    skipped/ (reference `dataGenerator.py:232-241`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hippyflow_tpu.fem import FunctionSpace, unit_square_mesh
+    from hippyflow_tpu.models import BiLaplacianPrior, DataGenerator
+    from hippyflow_tpu.models.pde_problem import NewtonInfo
+    from hippyflow_tpu.models.sampling import sample_until_solved
+    from hippyflow_tpu.utils import KeyChain
+
+    V = FunctionSpace(unit_square_mesh(6))
+    prior = BiLaplacianPrior(V, gamma=0.1, delta=1.0)
+
+    class FlakyProblem:
+        """Fails whenever the sample's first dof exceeds its median."""
+
+        state_dim = V.dim
+        Vu = V
+        _use_block_tridiag = False
+
+        def solve_fwd(self, m, z=None, u0=None):
+            info = NewtonInfo(
+                converged=m[0] < 0.0,
+                iterations=jnp.asarray(1),
+                residual_norm=jnp.asarray(0.0),
+            )
+            return m * 2.0, info
+
+        def linearize(self, u, m, z=None):
+            raise NotImplementedError
+
+    class StubObservable:
+        problem = FlakyProblem()
+
+        def evalu(self, u):
+            return u[:3]
+
+    obs = StubObservable()
+    batch = sample_until_solved(obs, prior, KeyChain(0), 32, chunk_size=32)
+    assert batch.n_failures > 0
+    assert batch.failed_ms is not None
+    assert batch.failed_ms.shape[0] == batch.n_failures
+    # every archived parameter indeed failed the converged predicate
+    assert (batch.failed_ms[:, 0] >= 0.0).all()
+    # every kept sample converged
+    assert bool((np.asarray(batch.ms[:, 0]) < 0.0).all())
+
+    dg = DataGenerator(obs, prior, settings={"verbose": False, "chunk_size": 16})
+    dg.generate(16, derivatives=(0, 0), data_dir=str(tmp_path))
+    skipped = list((tmp_path / "skipped").glob("m_failed_*.npy"))
+    assert skipped, "no skipped archive written"
+    arr = np.load(skipped[0])
+    assert arr.ndim == 2 and arr.shape[1] == V.dim

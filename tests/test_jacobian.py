@@ -91,3 +91,55 @@ def test_control_jacobian(setup):
     np.testing.assert_allclose(
         np.asarray(Jzd @ dz), np.asarray(an), rtol=1e-10, atol=1e-12
     )
+
+
+def test_parameter_projection_restricts_sensitivity():
+    """LinearStateObservable(parameter_projection=indicator): C dm only sees
+    the restricted parameter subdomain (reference `observable.py:263-297`)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hippyflow_tpu.fem import (
+        DirichletBC,
+        FunctionSpace,
+        GalerkinForm,
+        unit_square_mesh,
+    )
+    from hippyflow_tpu.models import (
+        LinearStateObservable,
+        PointwiseObservation,
+        VariationalPDEProblem,
+    )
+
+    V = FunctionSpace(unit_square_mesh(8))
+    bc = DirichletBC.from_predicate(V, None, 0.0)
+    form = GalerkinForm(
+        flux=lambda x, u, gu, m, z, c: jnp.exp(m) * gu,
+        source=lambda x, u, gu, m, z, c: -1.0,
+    )
+    pde = VariationalPDEProblem(V, V, form, bc, is_fwd_linear=True)
+    x = V.dof_coords
+    indicator = (x[:, 0] < 0.5).astype(float)
+    B = PointwiseObservation(V, np.array([[0.3, 0.3], [0.7, 0.7]]))
+    obs = LinearStateObservable(pde, B, parameter_projection=indicator)
+    obs_full = LinearStateObservable(pde, B)
+
+    m = jnp.zeros(V.dim)
+    lin = obs.linearize(m)
+    rng = np.random.RandomState(0)
+    dm = jnp.asarray(rng.randn(V.dim))
+    # C applied to a perturbation supported outside the subdomain vanishes
+    dm_outside = jnp.where(jnp.asarray(indicator) > 0, 0.0, dm)
+    assert float(jnp.abs(obs.applyC(lin, dm_outside)).max()) < 1e-13
+    # and matches the unrestricted C on masked perturbations
+    dm_inside = jnp.where(jnp.asarray(indicator) > 0, dm, 0.0)
+    np.testing.assert_allclose(
+        np.asarray(obs.applyC(lin, dm)),
+        np.asarray(obs_full.applyC(lin, dm_inside)),
+        atol=1e-13,
+    )
+    # transpose consistency: <C dm, dp> == <dm, C^T dp>
+    dp = jnp.asarray(rng.randn(V.dim))
+    lhs = float(obs.applyC(lin, dm) @ dp)
+    rhs = float(dm @ obs.applyCt(lin, dp))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)

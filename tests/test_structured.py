@@ -114,3 +114,138 @@ def test_prior_block_tridiag_consistency():
     X = jax.random.normal(jax.random.PRNGKey(0), (V.dim, 4))
     err = jnp.linalg.norm(prior.R_matmat(prior.Rsolver_matmat(X)) - X)
     assert float(err / jnp.linalg.norm(X)) < 1e-9
+
+
+class TestBlockCyclic:
+    """Cyclic reduction agrees with dense solves (fwd + transpose) on
+    nonsymmetric block-tridiagonal systems of awkward sizes."""
+
+    @pytest.mark.parametrize("nb,s", [(1, 4), (2, 3), (5, 4), (8, 3), (65, 5)])
+    def test_matches_dense(self, nb, s):
+        from hippyflow_tpu.ops import factorize_block_cyclic
+
+        rng = np.random.RandomState(nb * 100 + s)
+        n = nb * s
+        D = rng.randn(nb, s, s) + 4.0 * np.eye(s)  # diagonally dominant
+        L = 0.3 * rng.randn(nb, s, s)
+        B = 0.3 * rng.randn(nb, s, s)
+        L[0] = 0.0
+        B[-1] = 0.0
+        A = np.zeros((n, n))
+        for j in range(nb):
+            A[j * s : (j + 1) * s, j * s : (j + 1) * s] = D[j]
+            if j > 0:
+                A[j * s : (j + 1) * s, (j - 1) * s : j * s] = L[j]
+            if j < nb - 1:
+                A[j * s : (j + 1) * s, (j + 1) * s : (j + 2) * s] = B[j]
+
+        fac = factorize_block_cyclic(
+            jnp.asarray(D), jnp.asarray(L), jnp.asarray(B), with_transpose=True
+        )
+        b = rng.randn(n)
+        x = np.asarray(fac.solve(jnp.asarray(b)))
+        np.testing.assert_allclose(x, np.linalg.solve(A, b), rtol=1e-9, atol=1e-10)
+        xt = np.asarray(fac.solve(jnp.asarray(b), trans=True))
+        np.testing.assert_allclose(
+            xt, np.linalg.solve(A.T, b), rtol=1e-9, atol=1e-10
+        )
+        # block rhs
+        Bk = rng.randn(n, 7)
+        Xk = np.asarray(fac.solve(jnp.asarray(Bk)))
+        np.testing.assert_allclose(
+            Xk, np.linalg.solve(A, Bk), rtol=1e-9, atol=1e-10
+        )
+
+    def test_banded_roundtrip_and_vmap(self):
+        from hippyflow_tpu.ops import factorize_block_cyclic_banded
+
+        rng = np.random.RandomState(3)
+        nb, s, batch = 9, 4, 6
+        band = 0.2 * rng.randn(batch, nb, s, 3 * s)
+        for i in range(batch):
+            band[i, :, :, s : 2 * s] += 3.0 * np.eye(s)
+            band[i, 0, :, :s] = 0.0
+            band[i, -1, :, 2 * s :] = 0.0
+        rhs = rng.randn(batch, nb * s)
+
+        sol = jax.vmap(
+            lambda bd, r: factorize_block_cyclic_banded(bd).solve(r)
+        )(jnp.asarray(band), jnp.asarray(rhs))
+        # dense check per sample
+        for i in range(batch):
+            A = np.zeros((nb * s, nb * s))
+            for j in range(nb):
+                A[j * s : (j + 1) * s, j * s : (j + 1) * s] = band[i, j, :, s : 2 * s]
+                if j > 0:
+                    A[j * s : (j + 1) * s, (j - 1) * s : j * s] = band[i, j, :, :s]
+                if j < nb - 1:
+                    A[j * s : (j + 1) * s, (j + 1) * s : (j + 2) * s] = band[
+                        i, j, :, 2 * s :
+                    ]
+            np.testing.assert_allclose(
+                np.asarray(sol[i]), np.linalg.solve(A, rhs[i]), rtol=1e-8, atol=1e-9
+            )
+
+    def test_no_transpose_asserts(self):
+        from hippyflow_tpu.ops import factorize_block_cyclic
+
+        rng = np.random.RandomState(0)
+        D = rng.randn(4, 3, 3) + 4.0 * np.eye(3)
+        Z = np.zeros_like(D)
+        fac = factorize_block_cyclic(
+            jnp.asarray(D), jnp.asarray(Z), jnp.asarray(Z), with_transpose=False
+        )
+        with pytest.raises(AssertionError):
+            fac.solve(jnp.ones(12), trans=True)
+
+
+class TestPallasInverse:
+    """Gauss-Jordan Pallas kernel (interpret mode on CPU) vs jnp.linalg.inv."""
+
+    def test_matches_xla(self):
+        from hippyflow_tpu.ops.pallas_kernels import batched_inverse
+
+        rng = np.random.RandomState(0)
+        X = rng.randn(13, 9, 9) + 6.0 * np.eye(9)
+        out = batched_inverse(jnp.asarray(X), force="pallas")
+        np.testing.assert_allclose(
+            np.asarray(out), np.linalg.inv(X), rtol=1e-9, atol=1e-11
+        )
+
+    def test_vmap_batching(self):
+        from hippyflow_tpu.ops.pallas_kernels import batched_inverse
+
+        rng = np.random.RandomState(1)
+        X = rng.randn(4, 6, 5, 5) + 5.0 * np.eye(5)
+        out = jax.vmap(lambda x: batched_inverse(x, force="pallas"))(
+            jnp.asarray(X)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.linalg.inv(X), rtol=1e-9, atol=1e-11
+        )
+
+    def test_fem_diagonal_blocks(self):
+        """The kernel's no-pivot assumption holds on actual assembled
+        diagonal blocks (bc-symmetrized confusion operator)."""
+        from applications.confusion import confusion_form
+        from hippyflow_tpu.fem import (
+            DirichletBC, FunctionSpace, band_bc_masks, bc_symmetrize_banded,
+            unit_square_mesh,
+        )
+        from hippyflow_tpu.models import VariationalPDEProblem
+        from hippyflow_tpu.ops.pallas_kernels import batched_inverse
+
+        V = FunctionSpace(unit_square_mesh(8))
+        bc = DirichletBC.from_predicate(V, None, 0.0)
+        pde = VariationalPDEProblem(V, V, confusion_form(V), bc,
+                                    is_fwd_linear=False)
+        s = pde._block_size
+        band = pde.bound.assemble_A_banded(
+            jnp.zeros(V.dim), jnp.zeros(V.dim), None, s
+        )
+        band = bc_symmetrize_banded(band, *band_bc_masks(bc, s, band.dtype))
+        D = band[:, :, s : 2 * s]
+        out = batched_inverse(D, force="pallas")
+        np.testing.assert_allclose(
+            np.asarray(out), np.linalg.inv(np.asarray(D)), rtol=1e-7, atol=1e-9
+        )

@@ -69,3 +69,19 @@ def test_collective_operator_parity():
     np.testing.assert_allclose(np.asarray(op(X)), np.asarray(A @ X))
     mm = MatrixMultCollectiveOperator(lambda X: A @ X, NullCollective())
     np.testing.assert_allclose(np.asarray(mm.matMvMult(X)), np.asarray(A @ X))
+
+
+def test_phase_timer_and_trace(tmp_path):
+    from hippyflow_tpu.utils import PhaseTimer, trace
+
+    timer = PhaseTimer(verbose=False)
+    with timer.phase("alpha") as h:
+        h["result"] = jnp.ones(4) * 2.0
+    with timer.phase("beta"):
+        pass
+    assert set(timer.timings) == {"alpha", "beta"}
+    assert timer.counts["alpha"] == 1
+    report = timer.report()
+    assert "alpha" in report and "beta" in report
+    with trace(str(tmp_path / "trace")):
+        jnp.ones(3).sum()
