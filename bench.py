@@ -58,6 +58,16 @@ def log(*a):
 def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str):
     import jax
 
+    # persistent compilation cache: compiles over the TPU tunnel cost
+    # minutes and vary wildly; cache them across bench invocations
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.join(REPO, ".bench", "jax_cache")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     if dtype_str == "float64":
         jax.config.update("jax_enable_x64", True)
     # TPU f32 matmuls default to bf16 passes; the Newton/LU/adjoint pipeline

@@ -26,4 +26,5 @@ from .observation import (
     assemble_pointwise_observation,
     locate_points,
     grid_targets,
+    vector_to_function,
 )

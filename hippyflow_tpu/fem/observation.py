@@ -81,6 +81,20 @@ def assemble_pointwise_observation(
     return B
 
 
+def vector_to_function(space: FunctionSpace, dofs):
+    """P1 field evaluator from dof values: the analog of hp.vector2Function
+    (a dolfin Function object); returns ``f(points) -> values`` interpolating
+    at arbitrary points inside the mesh."""
+    dofs = np.asarray(dofs)
+
+    def f(points):
+        cell_ids, weights = locate_points(space, np.atleast_2d(points))
+        vals = (dofs[space.mesh.cells[cell_ids]] * weights).sum(axis=1)
+        return vals
+
+    return f
+
+
 def grid_targets(lo: float, hi: float, sqrt_n: int) -> np.ndarray:
     """The reference's observation-target layout: a sqrt_n x sqrt_n grid in
     [lo, hi]^2 (`confusion_linear_observable.py:121-127`)."""

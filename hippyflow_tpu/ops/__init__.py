@@ -32,5 +32,7 @@ from .operators import (
     low_rank_rectangular_operator,
     prior_preconditioned_projector,
     mean_jtj_from_data_operator,
+    solver_to_operator,
+    transpose_operator,
     averaged_operator,
 )

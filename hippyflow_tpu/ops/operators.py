@@ -54,6 +54,21 @@ def mean_jtj_from_data_operator(J_data, noise_precision=None):
     return matmat
 
 
+def solver_to_operator(solve):
+    """Present a solver (a factor's ``solve`` or any callable mapping rhs
+    blocks to solutions) as a plain matmat operator — the reference's
+    hp.Solver2Operator (`hippyflow/modeling/KLEProjector.py:103`)."""
+    return lambda X: solve(X)
+
+
+def transpose_operator(A):
+    """Operator applying A^T (reference: hp.Transpose).  Accepts a dense
+    matrix or a (matmat, rmatmat) pair from low_rank_rectangular_operator."""
+    if isinstance(A, tuple):
+        return A[1]
+    return lambda X: jnp.asarray(A).T @ X
+
+
 def averaged_operator(matmats, average: bool = True):
     """Sum/average of a list of operators (reference: SummedListOperator,
     `activeSubspaceProjector.py:69-95`)."""

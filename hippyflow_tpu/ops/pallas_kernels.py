@@ -25,31 +25,41 @@ import numpy as np
 
 
 def _gj_kernel(a_ref, out_ref):
+    """Gauss-Jordan on the augmented matrix [A | I] held in a VMEM scratch
+    ref: per elimination step, one dynamic row read (pl.ds on the sublane
+    dim), a masked lane-reduce for the pivot column, a single rank-1 fma
+    over the (tb, s, 2s) tile, and one dynamic row write."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
     A = a_ref[...]  # (tb, s, s)
-    s = A.shape[-1]
-    Inv = jnp.broadcast_to(jnp.eye(s, dtype=A.dtype), A.shape)
+    tb, s = A.shape[0], A.shape[-1]
 
-    def step(k, carry):
-        A, Inv = carry
-        # ek_row: (1, s, 1) one-hot on the row axis (2D+ iota for TPU)
+    def body(aug_ref):
+        aug_ref[:, :, :s] = A
+        aug_ref[:, :, s:] = jnp.broadcast_to(jnp.eye(s, dtype=A.dtype), A.shape)
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * s), 2)
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, s, 1), 1)
-        ek_row = (row_ids == k).astype(A.dtype)
-        ek_col = jnp.swapaxes(ek_row, 1, 2)  # (1, 1, s)
 
-        rowk = jnp.sum(A * ek_row, axis=1, keepdims=True)  # (tb, 1, s)
-        pivot = jnp.sum(rowk * ek_col, axis=2, keepdims=True)  # (tb, 1, 1)
-        inv_piv = 1.0 / pivot
-        rowk_n = rowk * inv_piv
-        irowk_n = jnp.sum(Inv * ek_row, axis=1, keepdims=True) * inv_piv
-        colk = jnp.sum(A * ek_col, axis=2, keepdims=True)  # (tb, s, 1)
+        def step(k, _):
+            rowk = aug_ref[:, pl.ds(k, 1), :]  # (tb, 1, 2s)
+            pivot = jnp.sum(
+                jnp.where(lane_ids == k, rowk, 0.0), axis=2, keepdims=True
+            )  # (tb, 1, 1)
+            rowk_n = rowk / pivot
+            AUG = aug_ref[...]
+            colk = jnp.sum(
+                jnp.where(lane_ids == k, AUG, 0.0), axis=2, keepdims=True
+            )  # (tb, s, 1)
+            colk = jnp.where(row_ids == k, 0.0, colk)
+            aug_ref[...] = AUG - colk * rowk_n  # rank-1 fma over the tile
+            aug_ref[:, pl.ds(k, 1), :] = rowk_n
+            return 0
 
-        not_k = 1.0 - ek_row  # (1, s, 1)
-        A = (A - colk * rowk_n) * not_k + ek_row * rowk_n
-        Inv = (Inv - colk * irowk_n) * not_k + ek_row * irowk_n
-        return A, Inv
+        jax.lax.fori_loop(0, s, step, 0)
+        out_ref[...] = aug_ref[:, :, s:]
 
-    _, Inv = jax.lax.fori_loop(0, s, step, (A, Inv))
-    out_ref[...] = Inv
+    pl.run_scoped(body, pltpu.VMEM((tb, s, 2 * s), A.dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))

@@ -165,3 +165,29 @@ def test_cell_coefficients_and_field_coefficients():
     # integrand = h * du/dx * phi_i = h * phi_i; total sum = sum_e h_e * |e|
     expected = (h * V.geometry.volumes).sum()
     assert abs(float(r.sum()) - expected) < 1e-12
+
+
+def test_vector_to_function_and_operator_helpers():
+    """hp contract shims: vector2Function analog, Solver2Operator, Transpose."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hippyflow_tpu.fem import FunctionSpace, unit_square_mesh, vector_to_function
+    from hippyflow_tpu.ops import solver_to_operator, transpose_operator
+
+    V = FunctionSpace(unit_square_mesh(8))
+    x = V.mesh.vertices
+    dofs = 2.0 * x[:, 0] - 0.5 * x[:, 1] + 1.0  # affine: exact under P1
+    f = vector_to_function(V, dofs)
+    pts = np.array([[0.33, 0.41], [0.77, 0.18]])
+    np.testing.assert_allclose(
+        f(pts), 2.0 * pts[:, 0] - 0.5 * pts[:, 1] + 1.0, atol=1e-12
+    )
+
+    rng = np.random.RandomState(0)
+    A = jnp.asarray(rng.randn(5, 5) + 5 * np.eye(5))
+    op = solver_to_operator(lambda X: jnp.linalg.solve(A, X))
+    X = jnp.asarray(rng.randn(5, 2))
+    np.testing.assert_allclose(np.asarray(A @ op(X)), np.asarray(X), atol=1e-10)
+    At = transpose_operator(A)
+    np.testing.assert_allclose(np.asarray(At(X)), np.asarray(A.T @ X), atol=1e-14)
