@@ -220,6 +220,17 @@ class BoundGalerkinForm:
             self._band_idx_cache[s] = idx
         return jnp.asarray(self._band_idx_cache[s])
 
+    def assemble_A_diag(self, u, m, z=None):
+        """Diagonal of dr/du (n,): the Jacobi preconditioner for the
+        matrix-free iterative solve path — one element-kernel pass, no
+        matrix."""
+        k = jax.jacfwd(self._r_elem, argnums=0)
+        A_e = self._per_cell(k, u, m, z)  # (nc, 3, 3)
+        diag_e = jnp.diagonal(A_e, axis1=1, axis2=2)  # (nc, 3)
+        return jax.ops.segment_sum(
+            diag_e.reshape(-1), self.cells.reshape(-1), num_segments=self.n
+        )
+
     def assemble_A_banded(self, u, m, z, s: int):
         """dr/du in block-tridiagonal band storage (nb, s, 3s): the memory-
         and bandwidth-lean path for structured meshes — O(n s) instead of the

@@ -123,6 +123,21 @@ class VectorBoundGalerkinForm:
         A = jnp.zeros((self.n_total, self.n_total), dtype=A_e.dtype)
         return A.at[rows.reshape(-1), cols.reshape(-1)].add(A_e.reshape(-1))
 
+    def assemble_A_diag(self, u, m, z=None):
+        """Diagonal of dr/du (n_total,): Jacobi preconditioner for the
+        matrix-free iterative solve path."""
+        k = jax.jacfwd(self._r_elem, argnums=0)  # (3,ncomp,3,ncomp)
+        A_e = self._per_cell(k, u, m, z)  # (nc, 3, ncomp, 3, ncomp)
+        diag_e = jnp.einsum("caibj,ab,ij->cai", A_e,
+                            jnp.eye(3, dtype=A_e.dtype),
+                            jnp.eye(self.ncomp, dtype=A_e.dtype))
+        segs = (
+            self.cells[:, :, None] + jnp.arange(self.ncomp)[None, None, :] * self.n
+        )
+        return jax.ops.segment_sum(
+            diag_e.reshape(-1), segs.reshape(-1), num_segments=self.n_total
+        )
+
     def apply_C(self, u, m, dm, z=None):
         _, out = jax.jvp(lambda mm: self.residual(u, mm, z), (m,), (dm,))
         return out

@@ -45,6 +45,65 @@ from ..ops.structured import (
 STATE, PARAMETER, ADJOINT, CONTROL = 0, 1, 2, 3
 
 
+@jax.tree_util.register_pytree_node_class
+class IterativeFactor:
+    """Matrix-free 'factorization': a linearization point plus a Jacobi
+    preconditioner; solves run preconditioned BiCGStab against the jvp/vjp
+    action of the bc-symmetrized A.  The large-mesh path (SURVEY.md section
+    7 'hard parts'): no operator matrix is ever formed, memory stays O(n).
+
+    Pytree: (u, m, z, diag) are leaves (so vmap/jit batch it like the dense
+    factors); the owning problem and solver knobs are static aux data."""
+
+    def __init__(self, u, m, z, diag, problem, tol, maxiter):
+        self.u, self.m, self.z, self.diag = u, m, z, diag
+        self.problem = problem
+        self.tol = tol
+        self.maxiter = maxiter
+
+    def tree_flatten(self):
+        return (self.u, self.m, self.z, self.diag), (
+            self.problem, self.tol, self.maxiter,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+    def _actions(self):
+        problem = self.problem
+        mask = jnp.asarray(problem.bc.mask)
+        keep = (~mask).astype(self.u.dtype)
+        rm = lambda uu: problem.residual_masked(uu, self.m, self.z)
+
+        def matvec(x):
+            _, y = jax.jvp(rm, (self.u,), (keep * x,))
+            return y + mask * x
+
+        _, pull = jax.vjp(rm, self.u)
+
+        def rmatvec(x):
+            return keep * pull(keep * x)[0] + mask * x
+
+        return matvec, rmatvec
+
+    def solve(self, b, trans: bool = False):
+        matvec, rmatvec = self._actions()
+        op = rmatvec if trans else matvec
+        Minv = 1.0 / self.diag
+
+        def one(rhs):
+            x, _ = jax.scipy.sparse.linalg.bicgstab(
+                op, rhs, M=lambda r: Minv * r, tol=self.tol,
+                maxiter=self.maxiter,
+            )
+            return x
+
+        if b.ndim == 1:
+            return one(b)
+        return jax.vmap(one, in_axes=1, out_axes=1)(b)
+
+
 class NewtonInfo(NamedTuple):
     converged: jax.Array
     iterations: jax.Array
@@ -108,11 +167,16 @@ class VariationalPDEProblem:
         # levels of large batched inverses/matmuls, the latency-optimal TPU
         # schedule.  'block_tridiag': sequential block-Thomas (same algebra,
         # nb-step scan).  'dense': dense LU/Cholesky.
-        assert solver in ("auto", "dense", "block_tridiag", "block_cyclic")
+        # 'iterative': matrix-free Jacobi-preconditioned BiCGStab — the
+        # arbitrarily-large-mesh path (O(n) memory, no operator matrix).
+        assert solver in (
+            "auto", "dense", "block_tridiag", "block_cyclic", "iterative",
+        )
         scalar = self.state_dim == Vu.dim
         structured = Vu.mesh.structured_shape is not None
         if solver in ("block_tridiag", "block_cyclic"):
             assert scalar and structured, f"{solver} needs a structured scalar problem"
+        self._use_iterative = solver == "iterative"
         self._use_block_tridiag = (
             solver in ("auto", "block_tridiag", "block_cyclic")
             and scalar
@@ -121,6 +185,8 @@ class VariationalPDEProblem:
         self._structured_solver = (
             "block_tridiag" if solver == "block_tridiag" else "block_cyclic"
         )
+        self._iterative_tol = 1e-10
+        self._iterative_maxiter = 1000
         if self._use_block_tridiag:
             self._block_size = Vu.mesh.structured_shape[0] + 1
             # static band-layout bc masks (computed lazily: dtype-dependent)
@@ -164,6 +230,15 @@ class VariationalPDEProblem:
         path: dense assembly -> bc_symmetrize -> LU/Cholesky.
         with_transpose=False skips the A^T factorization on the cyclic path
         (Newton forward solves never need adjoints)."""
+        if self._use_iterative:
+            mask = jnp.asarray(self.bc.mask)
+            diag = jnp.where(
+                mask, 1.0, self.bound.assemble_A_diag(u, m, z)
+            )
+            return IterativeFactor(
+                u, m, z, diag, self,
+                self._iterative_tol, self._iterative_maxiter,
+            )
         if self._use_block_tridiag:
             s = self._block_size
             band = self.bound.assemble_A_banded(u, m, z, s)

@@ -191,3 +191,73 @@ def test_vector_to_function_and_operator_helpers():
     np.testing.assert_allclose(np.asarray(A @ op(X)), np.asarray(X), atol=1e-10)
     At = transpose_operator(A)
     np.testing.assert_allclose(np.asarray(At(X)), np.asarray(A.T @ X), atol=1e-14)
+
+
+def test_iterative_solver_matches_dense():
+    """solver='iterative' (matrix-free Jacobi-BiCGStab) reproduces the dense
+    path: linear solve, nonlinear Newton, and incremental fwd/adj solves."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from hippyflow_tpu.fem import (
+        DirichletBC, FunctionSpace, GalerkinForm, unit_square_mesh,
+    )
+    from hippyflow_tpu.models import VariationalPDEProblem
+
+    V = FunctionSpace(unit_square_mesh(10))
+    bc = DirichletBC.from_predicate(V, None, 0.0)
+
+    def make(solver, linear):
+        def flux(x, u, gu, m, z, c):
+            return jnp.exp(m) * gu
+
+        def source(x, u, gu, m, z, c):
+            return (0.0 if linear else u**3) - 1.0
+
+        return VariationalPDEProblem(
+            V, V, GalerkinForm(flux=flux, source=source), bc,
+            is_fwd_linear=linear, solver=solver,
+        )
+
+    rng = np.random.RandomState(0)
+    m = jnp.asarray(0.3 * rng.randn(V.dim))
+
+    for linear in (True, False):
+        pd = make("dense", linear)
+        pi = make("iterative", linear)
+        ud, infod = pd.solve_fwd(m)
+        ui, infoi = pi.solve_fwd(m)
+        assert bool(infoi.converged)
+        np.testing.assert_allclose(np.asarray(ui), np.asarray(ud),
+                                   rtol=1e-7, atol=1e-9)
+
+    # incremental fwd/adj agree at the nonlinear solution
+    pd, pi = make("dense", False), make("iterative", False)
+    ud, _ = pd.solve_fwd(m)
+    lind, lini = pd.linearize(ud, m), pi.linearize(ud, m)
+    rhs = jnp.asarray(rng.randn(V.dim))
+    np.testing.assert_allclose(
+        np.asarray(pi.solve_incremental(lini, rhs)),
+        np.asarray(pd.solve_incremental(lind, rhs)),
+        rtol=1e-6, atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pi.solve_incremental(lini, rhs, is_adj=True)),
+        np.asarray(pd.solve_incremental(lind, rhs, is_adj=True)),
+        rtol=1e-6, atol=1e-8,
+    )
+    # block rhs
+    RHS = jnp.asarray(rng.randn(V.dim, 3))
+    np.testing.assert_allclose(
+        np.asarray(lini.factor.solve(RHS)),
+        np.asarray(lind.factor.solve(RHS)),
+        rtol=1e-6, atol=1e-8,
+    )
+    # vmapped solves (batched samples)
+    ms = jnp.asarray(0.2 * rng.randn(4, V.dim))
+    us_i, infos = jax.vmap(pi.solve_fwd)(ms)
+    us_d, _ = jax.vmap(pd.solve_fwd)(ms)
+    assert bool(np.asarray(infos.converged).all())
+    np.testing.assert_allclose(np.asarray(us_i), np.asarray(us_d),
+                               rtol=1e-6, atol=1e-8)
