@@ -139,28 +139,36 @@ def helmholtz_linear_observable(
     frequency: float = 300.0,
     box=BOX,
     box_pml=BOX_PML,
+    state_degree: int = 2,
 ):
     """Build the Helmholtz observable (reference
-    `helmholtz_linear_observable.py:30-96`). Returns (observable, Vh)."""
+    `helmholtz_linear_observable.py:30-96`).
+
+    State: (re, im) vector field on a P2 space (reference parity:
+    `helmholtz_linear_observable.py:70` uses VectorFunctionSpace P2);
+    parameter: P1.  Returns (observable, Vh) with Vh the PARAMETER space —
+    the space priors and reduced bases live on; the state space is
+    ``observable.problem.Vu``."""
     if ny is None:
         ny = int(round(nx * (box_pml[3] - box_pml[1]) / (box_pml[2] - box_pml[0])))
     mesh = rectangle_mesh(nx, ny, box_pml[0], box_pml[1], box_pml[2], box_pml[3])
-    Vh = FunctionSpace(mesh)
-    n = Vh.dim
+    Vu = FunctionSpace(mesh, degree=state_degree)
+    Vh = FunctionSpace(mesh)  # P1 parameter space
+    n = Vu.dim
 
     omega = 2.0 * math.pi * frequency
     wave_number = omega / (SPEED_OF_SOUND * AIR_DENSITY)
 
     # unit point source on the real component near the top boundary
     source_loc = ((box[0] + 0.1 + (box[2] - 0.1) / 2) / 2, box[3] - 0.15)
-    b_row = assemble_pointwise_observation(Vh, np.array([source_loc]))[0]
+    b_row = assemble_pointwise_observation(Vu, np.array([source_loc]))[0]
     rhs = np.zeros(2 * n)
     rhs[:n] = b_row  # delta source: rhs_i = phi_i(x_s) on component 0
     # no Dirichlet conditions: PML absorbs outgoing waves
     bc = DirichletBC(mask=np.zeros(2 * n, dtype=bool), value=np.zeros(2 * n))
 
     pde = VariationalPDEProblem(
-        Vh,
+        Vu,
         Vh,
         helmholtz_form(wave_number, box, box_pml),
         bc,
@@ -176,7 +184,7 @@ def helmholtz_linear_observable(
         box[3] - 0.05 - obs_length, box[3] - obs_length + 0.15, sqrt_n_obs
     )
     targets = np.array([(xi, yi) for xi in x_targets for yi in y_targets])
-    B = VectorPointwiseObservation(Vh, targets, ncomp=2)
+    B = VectorPointwiseObservation(Vu, targets, ncomp=2)
     return LinearStateObservable(pde, B), Vh
 
 

@@ -82,62 +82,71 @@ class BoundGalerkinForm:
         assert Vu.mesh is Vm.mesh, "state/parameter spaces must share a mesh"
         self.Vu, self.Vm, self.form = Vu, Vm, form
         mesh = Vu.mesh
-        self.cells = jnp.asarray(mesh.cells)
+        # state/parameter dofmaps may differ (e.g. P2 state, P1 parameter)
+        self.cells = jnp.asarray(Vu.cell_dofs)  # (nc, ndu)
+        self.cells_m = jnp.asarray(Vm.cell_dofs)  # (nc, ndm)
         self.n = Vu.dim
-        phi, xq, wdet = Vu.quad_points(form.quad_degree)
-        geo = Vu.geometry
-        self._phi = jnp.asarray(phi)  # (nq, 3)
+        self.n_m = Vm.dim
+        phi_u, gphi_u, xq, wdet = Vu.quad_data(form.quad_degree)
+        phi_m, _, _, _ = Vm.quad_data(form.quad_degree)
+        self._phi = jnp.asarray(phi_u)  # (nq, ndu)
+        self._phi_m = jnp.asarray(phi_m)  # (nq, ndm)
         self._xq = jnp.asarray(xq)  # (nc, nq, 2)
         self._wdet = jnp.asarray(wdet)  # (nc, nq)
-        self._grads = jnp.asarray(geo.grads)  # (nc, 3, 2)
+        self._grads = jnp.asarray(gphi_u)  # (nc, nq, ndu, 2)
 
-        # Precompute coefficient values/gradients at quadrature points (static).
+        # Precompute coefficient values/gradients at quadrature points
+        # (static; coefficients live on P1 vertex dofs).
+        geo = Vu.geometry
+        nq = phi_u.shape[0]
+        lam, _, _ = Vu.quad_points(form.quad_degree)
         cvals = {}
         for name, dofs in form.coefficients.items():
             dofs = np.asarray(dofs)
             de = dofs[mesh.cells]  # (nc, 3) or (nc, 3, k)
-            cvals[name] = jnp.asarray(np.einsum("qi,ci...->cq...", phi, de))
+            cvals[name] = jnp.asarray(np.einsum("qi,ci...->cq...", lam, de))
             cvals["grad_" + name] = jnp.asarray(
                 np.repeat(
                     np.einsum("cid,ci...->c...d", geo.grads, de)[:, None],
-                    phi.shape[0],
+                    nq,
                     axis=1,
                 )
             )
         for name, vals in form.cell_coefficients.items():
             vals = np.asarray(vals)
-            cvals[name] = jnp.asarray(
-                np.repeat(vals[:, None], phi.shape[0], axis=1)
-            )
+            cvals[name] = jnp.asarray(np.repeat(vals[:, None], nq, axis=1))
         self._coef = cvals  # each (nc, nq, ...)
 
     # -- element kernel ----------------------------------------------------
     def _r_elem(self, u_e, m_e, z, xq_c, wdet_c, grads_c, coef_c):
-        """Element residual (3,) at one cell; pure function of (u_e, m_e, z)."""
-        phi = self._phi  # (nq, 3)
+        """Element residual (ndu,) at one cell; pure in (u_e, m_e, z).
+
+        grads_c: (nq, ndu, 2) physical basis gradients at the quadrature
+        points (constant in q for P1, varying for P2)."""
+        phi = self._phi  # (nq, ndu)
         uq = phi @ u_e  # (nq,)
-        mq = phi @ m_e
-        gu = u_e @ grads_c  # (2,) cellwise-constant P1 gradient
+        mq = self._phi_m @ m_e
 
         def at_q(q):
             c_q = {k: v[q] for k, v in coef_c.items()}
-            out = jnp.zeros((3,), dtype=u_e.dtype)
+            gu = grads_c[q].T @ u_e  # (2,)
+            out = jnp.zeros((phi.shape[1],), dtype=u_e.dtype)
             if self.form.flux is not None:
                 F = self.form.flux(xq_c[q], uq[q], gu, mq[q], z, c_q)
-                out = out + grads_c @ F
+                out = out + grads_c[q] @ F
             if self.form.source is not None:
                 S = self.form.source(xq_c[q], uq[q], gu, mq[q], z, c_q)
                 out = out + S * phi[q]
             return wdet_c[q] * out
 
         nq = phi.shape[0]
-        contrib = jax.vmap(at_q)(jnp.arange(nq))  # (nq, 3)
+        contrib = jax.vmap(at_q)(jnp.arange(nq))  # (nq, ndu)
         return contrib.sum(axis=0)
 
     def _per_cell(self, fn, u, m, z):
         """vmap an element kernel over all cells."""
         u_e = u[self.cells]
-        m_e = m[self.cells]
+        m_e = m[self.cells_m]
         return jax.vmap(
             lambda ue, me, xq, wd, gr, *co: fn(
                 ue, me, z, xq, wd, gr, dict(zip(self._coef.keys(), co))
@@ -147,7 +156,7 @@ class BoundGalerkinForm:
     # -- public entry points -------------------------------------------------
     def residual(self, u, m, z=None):
         """Global residual vector r(u, m, z) of shape (n,)."""
-        r_e = self._per_cell(self._r_elem, u, m, z)  # (nc, 3)
+        r_e = self._per_cell(self._r_elem, u, m, z)  # (nc, ndu)
         return jax.ops.segment_sum(
             r_e.reshape(-1), self.cells.reshape(-1), num_segments=self.n
         )
@@ -160,10 +169,13 @@ class BoundGalerkinForm:
         return self._scatter_matrix(A_e)
 
     def assemble_C(self, u, m, z=None):
-        """Dense dr/dm (n, n). Reference: the `C` KKT block."""
+        """Dense dr/dm (n, n_m). Reference: the `C` KKT block."""
         k = jax.jacfwd(self._r_elem, argnums=1)
-        C_e = self._per_cell(k, u, m, z)
-        return self._scatter_matrix(C_e)
+        C_e = self._per_cell(k, u, m, z)  # (nc, ndu, ndm)
+        rows = jnp.broadcast_to(self.cells[:, :, None], C_e.shape)
+        cols = jnp.broadcast_to(self.cells_m[:, None, :], C_e.shape)
+        C = jnp.zeros((self.n, self.n_m), dtype=C_e.dtype)
+        return C.at[rows.reshape(-1), cols.reshape(-1)].add(C_e.reshape(-1))
 
     def assemble_Cz(self, u, m, z):
         """Dense dr/dz (n, dz). Reference: the `Cz` KKT block."""
@@ -250,16 +262,17 @@ class BoundGalerkinForm:
 
 
 def mass_matrix(V: FunctionSpace, dtype=None) -> jnp.ndarray:
-    """Dense P1 mass matrix (consistent). Reference:
-    `hippyflow/modeling/PODProjector.py:311`.
-
-    int_T phi_i phi_j dx = |T| (1 + delta_ij) / 12.
-    """
+    """Dense consistent mass matrix (P1 closed form / P2 quadrature).
+    Reference: `hippyflow/modeling/PODProjector.py:311`."""
     dtype = dtype or config.default_dtype()
-    vols = V.geometry.volumes
-    local = (np.full((3, 3), 1.0) + np.eye(3)) / 12.0
-    M_e = vols[:, None, None] * local[None]
-    return _scatter_dense(V.mesh, jnp.asarray(M_e, dtype=dtype), V.dim)
+    if V.degree == 1:
+        vols = V.geometry.volumes
+        local = (np.full((3, 3), 1.0) + np.eye(3)) / 12.0
+        M_e = vols[:, None, None] * local[None]
+        return _scatter_dense(V.mesh, jnp.asarray(M_e, dtype=dtype), V.dim)
+    phi, gphi, xq, wdet = V.quad_data(2 * V.degree)
+    M_e = np.einsum("qi,qj,cq->cij", phi, phi, wdet)
+    return _scatter_dofs(V, jnp.asarray(M_e, dtype=dtype))
 
 
 def stiffness_matrix(
@@ -269,12 +282,16 @@ def stiffness_matrix(
     constant anisotropic tensor Theta (2,2). Reference: the AnisTensor2D
     stiffness of the BiLaplacian prior (`hippyflow/modeling/maternPrior.py:24`)."""
     dtype = dtype or config.default_dtype()
-    geo = V.geometry
-    g = geo.grads  # (nc, 3, 2)
     if tensor is None:
         tensor = np.eye(2)
-    K_e = np.einsum("cid,de,cje,c->cij", g, tensor, g, geo.volumes)
-    return _scatter_dense(V.mesh, jnp.asarray(K_e, dtype=dtype), V.dim)
+    if V.degree == 1:
+        geo = V.geometry
+        g = geo.grads  # (nc, 3, 2)
+        K_e = np.einsum("cid,de,cje,c->cij", g, tensor, g, geo.volumes)
+        return _scatter_dense(V.mesh, jnp.asarray(K_e, dtype=dtype), V.dim)
+    phi, gphi, xq, wdet = V.quad_data(2 * V.degree)
+    K_e = np.einsum("cqid,de,cqje,cq->cij", gphi, tensor, gphi, wdet)
+    return _scatter_dofs(V, jnp.asarray(K_e, dtype=dtype))
 
 
 def boundary_mass_matrix(V: FunctionSpace, dtype=None) -> jnp.ndarray:
@@ -282,6 +299,7 @@ def boundary_mass_matrix(V: FunctionSpace, dtype=None) -> jnp.ndarray:
     Used for the Robin correction of the BiLaplacian prior and the
     boundary-restricted KLE (`hippyflow/modeling/KLEProjector.py:379`)."""
     dtype = dtype or config.default_dtype()
+    assert V.degree == 1, "boundary mass matrix implemented for P1 spaces"
     edges = boundary_edges(V.mesh)
     x = V.mesh.vertices[edges]  # (ne, 2, 2)
     lens = np.sqrt(((x[:, 1] - x[:, 0]) ** 2).sum(-1))  # (ne,)
@@ -300,6 +318,15 @@ def _scatter_dense(mesh, vals_e, n):
     rows = jnp.broadcast_to(cells[:, :, None], vals_e.shape)
     cols = jnp.broadcast_to(cells[:, None, :], vals_e.shape)
     A = jnp.zeros((n, n), dtype=vals_e.dtype)
+    return A.at[rows.reshape(-1), cols.reshape(-1)].add(vals_e.reshape(-1))
+
+
+def _scatter_dofs(V, vals_e):
+    """Scatter (nc, nd, nd) element matrices with the space's dofmap."""
+    dofs = jnp.asarray(V.cell_dofs)
+    rows = jnp.broadcast_to(dofs[:, :, None], vals_e.shape)
+    cols = jnp.broadcast_to(dofs[:, None, :], vals_e.shape)
+    A = jnp.zeros((V.dim, V.dim), dtype=vals_e.dtype)
     return A.at[rows.reshape(-1), cols.reshape(-1)].add(vals_e.reshape(-1))
 
 
@@ -324,7 +351,7 @@ class DirichletBC:
     def from_predicate(V: FunctionSpace, predicate, value=0.0) -> "DirichletBC":
         mask = V.boundary_dofs(predicate)
         if callable(value):
-            g = np.asarray(value(V.mesh.vertices), dtype=np.float64)
+            g = np.asarray(value(V.dof_coords), dtype=np.float64)
         else:
             g = np.full(V.dim, float(value))
         return DirichletBC(mask=mask, value=np.where(mask, g, 0.0))

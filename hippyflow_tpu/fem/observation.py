@@ -72,25 +72,34 @@ def locate_points(space: FunctionSpace, targets: np.ndarray, tol: float = 1e-10)
 def assemble_pointwise_observation(
     space: FunctionSpace, targets: np.ndarray
 ) -> np.ndarray:
-    """Dense observation matrix B (n_targets, n_dofs)."""
+    """Dense observation matrix B (n_targets, n_dofs); degree-aware (P1
+    barycentric weights, P2 quadratic shape functions at the located
+    barycentric coordinates)."""
     cell_ids, weights = locate_points(space, targets)
+    if space.degree > 1:
+        # reference coordinates from barycentric (lam1, lam2) = (x, y)
+        ref_pts = weights[:, 1:]
+        vals = np.stack(
+            [space.basis(ref_pts[t : t + 1])[0] for t in range(len(cell_ids))]
+        )  # (nt, nd)
+    else:
+        vals = weights
     B = np.zeros((len(cell_ids), space.dim), dtype=np.float64)
-    dofs = space.mesh.cells[cell_ids]  # (nt, 3)
-    rows = np.repeat(np.arange(len(cell_ids)), 3)
-    B[rows, dofs.reshape(-1)] = weights.reshape(-1)
+    dofs = np.asarray(space.cell_dofs)[cell_ids]  # (nt, nd)
+    rows = np.repeat(np.arange(len(cell_ids)), dofs.shape[1])
+    B[rows, dofs.reshape(-1)] = vals.reshape(-1)
     return B
 
 
 def vector_to_function(space: FunctionSpace, dofs):
-    """P1 field evaluator from dof values: the analog of hp.vector2Function
+    """Field evaluator from dof values: the analog of hp.vector2Function
     (a dolfin Function object); returns ``f(points) -> values`` interpolating
-    at arbitrary points inside the mesh."""
+    at arbitrary points inside the mesh (degree-aware)."""
     dofs = np.asarray(dofs)
 
     def f(points):
-        cell_ids, weights = locate_points(space, np.atleast_2d(points))
-        vals = (dofs[space.mesh.cells[cell_ids]] * weights).sum(axis=1)
-        return vals
+        B = assemble_pointwise_observation(space, np.atleast_2d(points))
+        return B @ dofs
 
     return f
 

@@ -48,54 +48,60 @@ class VectorBoundGalerkinForm:
         self.Vu, self.Vm, self.form = Vu, Vm, form
         self.ncomp = form.ncomp
         mesh = Vu.mesh
-        self.cells = jnp.asarray(mesh.cells)
+        self.cells = jnp.asarray(Vu.cell_dofs)  # (nc, nd)
+        self.cells_m = jnp.asarray(Vm.cell_dofs)
+        self.nd = Vu.nd
         self.n = Vu.dim
         self.n_total = self.n * self.ncomp
-        phi, xq, wdet = Vu.quad_points(form.quad_degree)
-        geo = Vu.geometry
-        self._phi = jnp.asarray(phi)
+        phi, gphi, xq, wdet = Vu.quad_data(form.quad_degree)
+        phi_m, _, _, _ = Vm.quad_data(form.quad_degree)
+        self._phi = jnp.asarray(phi)  # (nq, nd)
+        self._phi_m = jnp.asarray(phi_m)
         self._xq = jnp.asarray(xq)
         self._wdet = jnp.asarray(wdet)
-        self._grads = jnp.asarray(geo.grads)
+        self._grads = jnp.asarray(gphi)  # (nc, nq, nd, 2)
 
+        lam, _, _ = Vu.quad_points(form.quad_degree)
         cvals = {}
         for name, dofs in form.coefficients.items():
             dofs = np.asarray(dofs)
             de = dofs[mesh.cells]
-            cvals[name] = jnp.asarray(np.einsum("qi,ci...->cq...", phi, de))
+            cvals[name] = jnp.asarray(np.einsum("qi,ci...->cq...", lam, de))
         for name, vals in form.cell_coefficients.items():
             vals = np.asarray(vals)
             cvals[name] = jnp.asarray(
-                np.repeat(vals[:, None], phi.shape[0], axis=1)
+                np.repeat(vals[:, None], lam.shape[0], axis=1)
             )
         self._coef = cvals
 
     # -- element kernel -------------------------------------------------------
     def _r_elem(self, u_e, m_e, z, xq_c, wdet_c, grads_c, coef_c):
-        """u_e (3, ncomp) -> element residual (3, ncomp)."""
-        phi = self._phi  # (nq, 3)
+        """u_e (nd, ncomp) -> element residual (nd, ncomp).
+
+        grads_c: (nq, nd, 2) physical basis gradients per quadrature point."""
+        phi = self._phi  # (nq, nd)
         uq = phi @ u_e  # (nq, ncomp)
-        mq = phi @ m_e  # (nq,)
-        gu = jnp.einsum("ik,id->kd", u_e, grads_c)  # (ncomp, 2)
+        mq = self._phi_m @ m_e  # (nq,)
 
         def at_q(q):
             c_q = {k: v[q] for k, v in coef_c.items()}
-            out = jnp.zeros((3, self.ncomp), dtype=u_e.dtype)
+            gu = jnp.einsum("ik,id->kd", u_e, grads_c[q])  # (ncomp, 2)
+            out = jnp.zeros((self.nd, self.ncomp), dtype=u_e.dtype)
             if self.form.flux is not None:
                 F = self.form.flux(xq_c[q], uq[q], gu, mq[q], z, c_q)  # (ncomp,2)
-                out = out + jnp.einsum("id,kd->ik", grads_c, F)
+                out = out + jnp.einsum("id,kd->ik", grads_c[q], F)
             if self.form.source is not None:
                 S = self.form.source(xq_c[q], uq[q], gu, mq[q], z, c_q)  # (ncomp,)
                 out = out + phi[q][:, None] * S[None, :]
             return wdet_c[q] * out
 
         contrib = jax.vmap(at_q)(jnp.arange(phi.shape[0]))
-        return contrib.sum(axis=0)  # (3, ncomp)
+        return contrib.sum(axis=0)  # (nd, ncomp)
 
     def _per_cell(self, fn, u, m, z):
         u_comp = u.reshape(self.ncomp, self.n)
-        u_e = jnp.transpose(u_comp[:, self.cells], (1, 2, 0))  # (nc, 3, ncomp)
-        m_e = m[self.cells]
+        u_e = jnp.transpose(u_comp[:, self.cells], (1, 2, 0))  # (nc, nd, ncomp)
+        m_e = m[self.cells_m]
         return jax.vmap(
             lambda ue, me, xq, wd, gr, *co: fn(
                 ue, me, z, xq, wd, gr, dict(zip(self._coef.keys(), co))
@@ -129,7 +135,7 @@ class VectorBoundGalerkinForm:
         k = jax.jacfwd(self._r_elem, argnums=0)  # (3,ncomp,3,ncomp)
         A_e = self._per_cell(k, u, m, z)  # (nc, 3, ncomp, 3, ncomp)
         diag_e = jnp.einsum("caibj,ab,ij->cai", A_e,
-                            jnp.eye(3, dtype=A_e.dtype),
+                            jnp.eye(self.nd, dtype=A_e.dtype),
                             jnp.eye(self.ncomp, dtype=A_e.dtype))
         segs = (
             self.cells[:, :, None] + jnp.arange(self.ncomp)[None, None, :] * self.n

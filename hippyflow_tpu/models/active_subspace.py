@@ -146,6 +146,7 @@ class ActiveSubspaceProjector:
             control_distribution=self.control_distribution,
             chunk_size=self.parameters["chunk_size"],
             verbose=self.parameters["verbose"],
+            collective=self.collective,
         )
         if self.parameters["verbose"]:
             print(

@@ -173,9 +173,12 @@ class VariationalPDEProblem:
             "auto", "dense", "block_tridiag", "block_cyclic", "iterative",
         )
         scalar = self.state_dim == Vu.dim
-        structured = Vu.mesh.structured_shape is not None
+        # P2 edge dofs couple across grid rows: band structure is P1-only
+        structured = Vu.mesh.structured_shape is not None and Vu.degree == 1
         if solver in ("block_tridiag", "block_cyclic"):
-            assert scalar and structured, f"{solver} needs a structured scalar problem"
+            assert scalar and structured, (
+                f"{solver} needs a structured scalar P1 problem"
+            )
         self._use_iterative = solver == "iterative"
         self._use_block_tridiag = (
             solver in ("auto", "block_tridiag", "block_cyclic")

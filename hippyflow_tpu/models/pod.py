@@ -90,6 +90,7 @@ class PODProjector:
             control_distribution=self.control_distribution,
             chunk_size=self.parameters["chunk_size"],
             verbose=self.parameters["verbose"],
+            collective=self.collective,
         )
 
     def construct_subspace(self):

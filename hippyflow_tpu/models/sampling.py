@@ -69,17 +69,27 @@ def sample_until_solved(
     chunk_size: int | None = None,
     max_tries: int = 10,
     verbose: bool = False,
+    collective=None,
 ) -> SampleBatch:
     """Draw n_samples prior samples with converged forward solves.
 
     Failed lanes (non-converged Newton) are resampled with fresh noise, up to
     ``max_tries`` sweeps; a hard failure raises, mirroring the reference's
     100-iteration guard (`activeSubspaceProjector.py:211`).
-    """
+
+    With a DeviceCollective, each chunk's noise is sharded over the
+    collective's 'sample' mesh axis before the batched solve, so the Newton
+    solves (and everything downstream that keeps the leading sample axis)
+    partition across devices — the TPU replacement for the reference's
+    sample-parallel MPI rows (SURVEY.md section 5.8)."""
     problem = observable.problem
     dtype = prior.mean.dtype
     if chunk_size is None:
         chunk_size = auto_chunk_size(problem.state_dim, dtype, problem=problem)
+        if collective is not None:
+            # keep per-device batches at the single-device sweet spot
+            chunk_size = min(4096, chunk_size * collective.size())
+    shard = (lambda x: x) if collective is None else collective.shard_samples
     with_control = control_distribution is not None
 
     cache = _jit_cache(observable)
@@ -105,10 +115,10 @@ def sample_until_solved(
     remaining = n_samples
     while remaining > 0:
         b = min(chunk_size, remaining)
-        noise = keychain.normal((b, prior.noise_dim), dtype=dtype)
+        noise = shard(keychain.normal((b, prior.noise_dim), dtype=dtype))
         z = None
         if with_control:
-            z = control_distribution.sample_n(keychain.next_key(), b)
+            z = shard(control_distribution.sample_n(keychain.next_key(), b))
         m, u, q, ok = solve_chunk(noise, z)
         ok = np.asarray(ok)
         for _ in range(max_tries):

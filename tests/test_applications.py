@@ -73,9 +73,10 @@ class TestHelmholtz:
         obs, Vh, prior = setup
         m = jnp.zeros(obs.dM)
         u, info = obs.problem.solve_fwd(m)
-        n = Vh.dim
+        Vu = obs.problem.Vu  # P2 state space
+        n = Vu.dim
         u1 = np.asarray(u[:n])
-        x = Vh.dof_coords
+        x = Vu.dof_coords
         outer = x[:, 0] < -0.9  # deep in the left PML
         inner = (np.abs(x[:, 0] - 0.8) < 0.3) & (np.abs(x[:, 1] - 2.8) < 0.3)
         assert np.abs(u1[outer]).max() < 0.05 * np.abs(u1[inner]).max()

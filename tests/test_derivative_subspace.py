@@ -152,3 +152,35 @@ def test_error_decay_and_jacobian_data(problem, tmp_path):
     import os
 
     assert os.path.exists(tmp_path / "Jsvd_data.npz")
+
+
+def test_eigenvalue_parity_vs_dense_reference(problem):
+    """BASELINE.json accuracy criterion: the randomized GHEP machinery
+    reproduces a dense generalized eigensolve of the materialized E[J^T J]
+    against R to 1e-8 relative error (f64) when run with power iterations;
+    at the reference's own setting (s=1) the deviation is the algorithmic
+    randomized error (~1e-5 here), identical for reference and port — exact
+    implementation parity at s=1 is asserted by the batched-vs-serialized
+    1e-11 test above."""
+    from hippyflow_tpu.models import materialize_jacobians
+    from hippyflow_tpu.ops import double_pass_g, generalized_eigh
+
+    pde, prior, control_dist, Vh, ms, zs = problem
+    obs = poisson_pointwise_observable(pde, Vh, n_obs=15)
+    proj = _make_projector(obs, prior, control_dist, serialized=False)
+    proj.ms, proj.zs = ms, zs
+    proj._ensure_samples()
+
+    Js = materialize_jacobians(obs, proj.samples.ms, proj.samples.us, proj.samples.zs)
+    H = jnp.einsum("sqm,sqn->mn", Js, Js) / Js.shape[0]
+    R = prior.R_matmat(jnp.eye(prior.dim))
+    d_dense, _ = generalized_eigh(0.5 * (H + H.T), 0.5 * (R + R.T))
+
+    avg = lambda X: H @ X
+    r, p = 8, 20
+    Omega = jax.random.normal(jax.random.PRNGKey(5), (prior.dim, r + p))
+    d_rand, V = double_pass_g(
+        avg, prior.R_matmat, prior.Rsolver_matmat, Omega, r, s=3
+    )
+    rel = np.abs(np.asarray(d_rand) - np.asarray(d_dense[:r])) / float(d_dense[0])
+    assert float(rel.max()) < 1e-8, rel

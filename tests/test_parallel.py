@@ -106,3 +106,47 @@ def test_sharded_active_subspace_spectrum():
     np.testing.assert_allclose(
         np.asarray(d_serial), np.asarray(d_sharded), rtol=1e-12, atol=1e-15
     )
+
+
+def test_end_to_end_device_collective():
+    """Passing collective=DeviceCollective() shards the whole pipeline
+    (sampling -> Jacobians -> GHEP) with results matching NullCollective."""
+    from hippyflow_tpu.models import (
+        ActiveSubspaceParameterList,
+        ActiveSubspaceProjector,
+        BiLaplacianPrior,
+        LinearStateObservable,
+        PointwiseObservation,
+        VariationalPDEProblem,
+    )
+    from hippyflow_tpu.fem import (
+        DirichletBC, FunctionSpace, GalerkinForm, unit_square_mesh, grid_targets,
+    )
+
+    V = FunctionSpace(unit_square_mesh(8))
+    bc = DirichletBC.from_predicate(V, None, 0.0)
+    form = GalerkinForm(
+        flux=lambda x, u, gu, m, z, c: jnp.exp(m) * gu,
+        source=lambda x, u, gu, m, z, c: -1.0,
+    )
+    pde = VariationalPDEProblem(V, V, form, bc, is_fwd_linear=True)
+    obs = LinearStateObservable(pde, PointwiseObservation(V, grid_targets(0.2, 0.8, 3)))
+    prior = BiLaplacianPrior(V, gamma=0.1, delta=1.0)
+
+    def run(collective):
+        params = ActiveSubspaceParameterList()
+        params["rank"] = 6
+        params["oversampling"] = 4
+        params["samples_per_process"] = 16
+        params["chunk_size"] = 16
+        params["verbose"] = False
+        proj = ActiveSubspaceProjector(
+            obs, prior, collective=collective, parameters=params
+        )
+        d, dec, enc = proj.construct_input_subspace()
+        return np.asarray(d), proj
+
+    d_null, _ = run(None)
+    d_dev, proj_dev = run(DeviceCollective())
+    assert check_consistent_sharding(proj_dev.samples.ms)
+    np.testing.assert_allclose(d_dev, d_null, rtol=1e-11, atol=1e-14)
