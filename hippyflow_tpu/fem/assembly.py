@@ -121,19 +121,23 @@ class BoundGalerkinForm:
     def _r_elem(self, u_e, m_e, z, xq_c, wdet_c, grads_c, coef_c):
         """Element residual (ndu,) at one cell; pure in (u_e, m_e, z).
 
-        grads_c: (nq, ndu, 2) physical basis gradients at the quadrature
-        points (constant in q for P1, varying for P2)."""
+        grads_c: (nq_g, ndu, 2) physical basis gradients at the quadrature
+        points; nq_g == 1 means constant gradients (P1) and the per-point
+        gradient work is hoisted out of the quadrature loop."""
         phi = self._phi  # (nq, ndu)
         uq = phi @ u_e  # (nq,)
         mq = self._phi_m @ m_e
+        const_grad = grads_c.shape[0] == 1
+        gu0 = grads_c[0].T @ u_e if const_grad else None  # (2,)
 
         def at_q(q):
             c_q = {k: v[q] for k, v in coef_c.items()}
-            gu = grads_c[q].T @ u_e  # (2,)
+            g_q = grads_c[0] if const_grad else grads_c[q]
+            gu = gu0 if const_grad else g_q.T @ u_e
             out = jnp.zeros((phi.shape[1],), dtype=u_e.dtype)
             if self.form.flux is not None:
                 F = self.form.flux(xq_c[q], uq[q], gu, mq[q], z, c_q)
-                out = out + grads_c[q] @ F
+                out = out + g_q @ F
             if self.form.source is not None:
                 S = self.form.source(xq_c[q], uq[q], gu, mq[q], z, c_q)
                 out = out + S * phi[q]

@@ -184,14 +184,18 @@ class FunctionSpace:
 
     def quad_data(self, degree: int):
         """Degree-aware quadrature pack:
-        (phi (nq, nd), gphi (nc, nq, nd, 2), xq (nc, nq, 2), wdet (nc, nq)).
-        gphi are *physical* basis gradients at each quadrature point (constant
-        in q for P1, varying for P2)."""
+        (phi (nq, nd), gphi (nc, nq_g, nd, 2), xq (nc, nq, 2), wdet (nc, nq)).
+        gphi are *physical* basis gradients at the quadrature points; for P1
+        they are constant in q and returned with nq_g = 1 so assembly kernels
+        keep the original constant-gradient cost."""
         pts, w = triangle_rule(degree)
         phi = _basis(self.degree, pts)  # (nq, nd)
-        gref = _basis_grads(self.degree, pts)  # (nq, nd, 2)
         geo = self.geometry
-        gphi = np.einsum("cdk,qid->cqik", geo.invJ, gref)  # (nc, nq, nd, 2)
+        if self.degree == 1:
+            gphi = geo.grads[:, None]  # (nc, 1, 3, 2)
+        else:
+            gref = _basis_grads(self.degree, pts)  # (nq, nd, 2)
+            gphi = np.einsum("cdk,qid->cqik", geo.invJ, gref)
         lam = _ref_values(pts)
         x = self.mesh.vertices[self.mesh.cells]
         xq = np.einsum("qi,cid->cqd", lam, x)

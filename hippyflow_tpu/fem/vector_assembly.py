@@ -78,18 +78,24 @@ class VectorBoundGalerkinForm:
     def _r_elem(self, u_e, m_e, z, xq_c, wdet_c, grads_c, coef_c):
         """u_e (nd, ncomp) -> element residual (nd, ncomp).
 
-        grads_c: (nq, nd, 2) physical basis gradients per quadrature point."""
+        grads_c: (nq_g, nd, 2) physical basis gradients; nq_g == 1 means
+        constant (P1) and the gradient work is hoisted out of the loop."""
         phi = self._phi  # (nq, nd)
         uq = phi @ u_e  # (nq, ncomp)
         mq = self._phi_m @ m_e  # (nq,)
+        const_grad = grads_c.shape[0] == 1
+        gu0 = (
+            jnp.einsum("ik,id->kd", u_e, grads_c[0]) if const_grad else None
+        )  # (ncomp, 2)
 
         def at_q(q):
             c_q = {k: v[q] for k, v in coef_c.items()}
-            gu = jnp.einsum("ik,id->kd", u_e, grads_c[q])  # (ncomp, 2)
+            g_q = grads_c[0] if const_grad else grads_c[q]
+            gu = gu0 if const_grad else jnp.einsum("ik,id->kd", u_e, g_q)
             out = jnp.zeros((self.nd, self.ncomp), dtype=u_e.dtype)
             if self.form.flux is not None:
                 F = self.form.flux(xq_c[q], uq[q], gu, mq[q], z, c_q)  # (ncomp,2)
-                out = out + jnp.einsum("id,kd->ik", grads_c[q], F)
+                out = out + jnp.einsum("id,kd->ik", g_q, F)
             if self.form.source is not None:
                 S = self.form.source(xq_c[q], uq[q], gu, mq[q], z, c_q)  # (ncomp,)
                 out = out + phi[q][:, None] * S[None, :]
