@@ -109,9 +109,10 @@ def sample_until_solved(
 
     solve_chunk = cache[ck]
 
-    ms_out, us_out, qs_out, zs_out = [], [], [], []
-    failed_ms = []
-    n_failures = 0
+    # Stage 1: dispatch every chunk's batched solve without reading results —
+    # async dispatch pipelines the host round trips (one sync per chunk costs
+    # ~0.3s over a remote-TPU tunnel; one sync total is near-free).
+    chunks = []
     remaining = n_samples
     while remaining > 0:
         b = min(chunk_size, remaining)
@@ -120,6 +121,17 @@ def sample_until_solved(
         if with_control:
             z = shard(control_distribution.sample_n(keychain.next_key(), b))
         m, u, q, ok = solve_chunk(noise, z)
+        chunks.append([m, u, q, z, ok])
+        remaining -= b
+        if verbose:
+            print(f"  dispatched {n_samples - remaining}/{n_samples}", flush=True)
+
+    # Stage 2: one sync for all converged flags, then per-chunk resampling of
+    # failed lanes only (rare: rough prior draws that broke Newton).
+    ms_out, us_out, qs_out, zs_out = [], [], [], []
+    failed_ms = []
+    n_failures = 0
+    for m, u, q, z, ok in chunks:
         ok = np.asarray(ok)
         for _ in range(max_tries):
             if ok.all():
@@ -153,12 +165,6 @@ def sample_until_solved(
         qs_out.append(q)
         if with_control:
             zs_out.append(z)
-        remaining -= b
-        if verbose:
-            jax.block_until_ready(q)
-            print(
-                f"  sampled {n_samples - remaining}/{n_samples}", flush=True
-            )
 
     return SampleBatch(
         ms=jnp.concatenate(ms_out),
