@@ -162,6 +162,21 @@ class KLEProjector:
             np.asarray(self.V_KLE),
         )
         np.save(os.path.join(outdir, "KLE_d"), np.asarray(self.d_KLE))
+        try:
+            from ..utils.plotting import spectrum_plot
+
+            spectrum_plot(
+                np.asarray(self.d_KLE),
+                axis_label=[
+                    "i", r"$\lambda_i$",
+                    "Eigenvalues of $C$" + self.parameters["plot_label_suffix"],
+                ],
+                out_name=os.path.join(
+                    outdir, f"KLE_eigenvalues_{self.parameters['rank']}.pdf"
+                ),
+            )
+        except Exception:
+            pass
 
 
 class KLESubspaceConstructor:

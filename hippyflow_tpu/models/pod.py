@@ -116,6 +116,22 @@ class PODProjector:
             os.makedirs(outdir, exist_ok=True)
             np.save(os.path.join(outdir, "POD_projector"), np.asarray(self.U_MV))
             np.save(os.path.join(outdir, "POD_d"), np.asarray(self.d))
+            try:
+                from ..utils.plotting import spectrum_plot
+
+                spectrum_plot(
+                    np.asarray(self.d),
+                    axis_label=[
+                        "i", r"$\lambda_i$",
+                        r"Eigenvalues of $\mathbb{E}_{\nu}[qq^T]$"
+                        + self.parameters["plot_label_suffix"],
+                    ],
+                    out_name=os.path.join(
+                        outdir, f"POD_eigenvalues_{self.parameters['rank']}.pdf"
+                    ),
+                )
+            except Exception:
+                pass
         return self.d, self.U_MV, self.U_MV
 
     def generate_training_data(
