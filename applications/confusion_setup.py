@@ -93,7 +93,7 @@ def main():
 
     # ---- projection error tests -----------------------------------------------
     if args.error_test:
-        ranks = [r for r in (8, 16, 32, 64, 128) if r <= args.rank]
+        ranks = [r for r in (8, 16, 32, 64, 128) if r <= args.rank] or [args.rank]
         t0 = time.time()
         error_data = {
             "as": AS.test_errors(ranks=ranks, test_input=True, test_output=True),

@@ -122,6 +122,7 @@ class KLEProjector:
     def test_errors(self, ranks=(8, 16, 32, 64), cut_off: float = 1e-12):
         """MC projection error of prior samples onto the KLE basis
         (reference `KLEProjector.py:202-282`), vectorized over samples."""
+        assert len(ranks) > 0, "test_errors needs at least one rank"
         if self.d_KLE is None or len(self.d_KLE) < max(ranks):
             self.parameters["rank"] = max(max(ranks), self.parameters["rank"])
             self.construct_input_subspace()
