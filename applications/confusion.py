@@ -127,5 +127,13 @@ def confusion_linear_observable(
 
 def confusion_prior(Vh: FunctionSpace, gamma: float = 0.1, delta: float = 1.0):
     """BiLaplacian prior with the driver's defaults
-    (`confusion_problem_setup.py:44-48`)."""
+    (`confusion_problem_setup.py:44-48`).  Beyond ~20k dofs the banded
+    StructuredBiLaplacianPrior replaces the dense one (same distribution,
+    O(n s) memory — required for the reference's nx=192 config)."""
+    if Vh.mesh.structured_shape is not None and Vh.dim > 20000:
+        from hippyflow_tpu.models import StructuredBiLaplacianPrior
+
+        return StructuredBiLaplacianPrior(
+            Vh, gamma=gamma, delta=delta, materialize=False
+        )
     return BiLaplacian2D(Vh, gamma=gamma, delta=delta)

@@ -19,6 +19,7 @@ from .assembly import (
     bc_symmetrize,
     band_bc_masks,
     bc_symmetrize_banded,
+    bc_symmetrize_banded_from_mask,
     bc_zero_rows,
     bc_apply_rhs,
 )

@@ -219,6 +219,11 @@ class BoundGalerkinForm:
         if getattr(self, "_band_idx_cache", None) is None:
             self._band_idx_cache = {}
         if s not in self._band_idx_cache:
+            # Must be called OUTSIDE any trace first (prepare_banded at
+            # problem construction): the device array then enters traced
+            # programs as a closure *parameter*. Creating it inside a trace
+            # would inline nc*9 int64s into the HLO (tens of MB at large nx)
+            # and caching a trace-local value would leak the tracer.
             from . import native
 
             cells = np.asarray(self.cells)
@@ -231,10 +236,13 @@ class BoundGalerkinForm:
                     "mesh numbering is not block-tridiagonal at this block size"
                 )
                 idx = g1 * (3 * s) + o * s + (g2 % s)
-            # cached as numpy: converting per call keeps the constant local to
-            # whichever trace is running (a cached tracer would leak)
-            self._band_idx_cache[s] = idx
-        return jnp.asarray(self._band_idx_cache[s])
+            self._band_idx_cache[s] = jnp.asarray(idx)
+        return self._band_idx_cache[s]
+
+    def prepare_banded(self, s: int) -> None:
+        """Eagerly materialize the band scatter indices on device (call at
+        problem construction, outside jit)."""
+        self._band_indices(s)
 
     def assemble_A_diag(self, u, m, z=None):
         """Diagonal of dr/du (n,): the Jacobi preconditioner for the
@@ -325,6 +333,58 @@ def _scatter_dense(mesh, vals_e, n):
     return A.at[rows.reshape(-1), cols.reshape(-1)].add(vals_e.reshape(-1))
 
 
+def banded_from_elements(V: FunctionSpace, vals_e, connectivity=None) -> np.ndarray:
+    """Scatter (ncell, a, a) element matrices into (nb, s, 3s) band storage
+    on a structured P1 mesh (numpy, one-time host work).  ``connectivity``
+    defaults to the triangle cells; pass boundary edges (ne, 2) with 2x2
+    element matrices for boundary mass terms."""
+    assert V.degree == 1 and V.mesh.structured_shape is not None
+    s = V.mesh.structured_shape[0] + 1
+    conn = np.asarray(V.mesh.cells if connectivity is None else connectivity)
+    a = conn.shape[1]
+    vals_e = np.asarray(vals_e)
+    g1 = np.repeat(conn, a, axis=1).reshape(-1).astype(np.int64)
+    g2 = np.tile(conn, (1, a)).reshape(-1).astype(np.int64)
+    o = g2 // s - g1 // s + 1
+    assert ((o >= 0) & (o <= 2)).all(), "connectivity exceeds the band"
+    idx = g1 * (3 * s) + o * s + (g2 % s)
+    flat = np.zeros(V.dim * 3 * s, dtype=vals_e.dtype)
+    np.add.at(flat, idx, vals_e.reshape(-1))
+    return flat.reshape(V.dim // s, s, 3 * s)
+
+
+def mass_matrix_banded(V: FunctionSpace, dtype=None) -> np.ndarray:
+    """(nb, s, 3s) band of the consistent P1 mass matrix."""
+    dtype = dtype or config.default_dtype()
+    vols = V.geometry.volumes
+    local = (np.full((3, 3), 1.0) + np.eye(3)) / 12.0
+    M_e = (vols[:, None, None] * local[None]).astype(np.dtype(dtype))
+    return banded_from_elements(V, M_e)
+
+
+def stiffness_matrix_banded(
+    V: FunctionSpace, tensor: np.ndarray | None = None, dtype=None
+) -> np.ndarray:
+    """(nb, s, 3s) band of the P1 stiffness matrix (optional tensor)."""
+    dtype = dtype or config.default_dtype()
+    geo = V.geometry
+    if tensor is None:
+        tensor = np.eye(2)
+    K_e = np.einsum("cid,de,cje,c->cij", geo.grads, tensor, geo.grads, geo.volumes)
+    return banded_from_elements(V, K_e.astype(np.dtype(dtype)))
+
+
+def boundary_mass_matrix_banded(V: FunctionSpace, dtype=None) -> np.ndarray:
+    """(nb, s, 3s) band of the boundary mass matrix."""
+    dtype = dtype or config.default_dtype()
+    edges = boundary_edges(V.mesh)
+    x = V.mesh.vertices[edges]
+    lens = np.sqrt(((x[:, 1] - x[:, 0]) ** 2).sum(-1))
+    local = np.array([[2.0, 1.0], [1.0, 2.0]]) / 6.0
+    Me = (lens[:, None, None] * local[None]).astype(np.dtype(dtype))
+    return banded_from_elements(V, Me, connectivity=edges)
+
+
 def _scatter_dofs(V, vals_e):
     """Scatter (nc, nd, nd) element matrices with the space's dofmap."""
     dofs = jnp.asarray(V.cell_dofs)
@@ -406,16 +466,37 @@ def band_bc_masks(bc: DirichletBC, s: int, dtype=None):
     diag = np.zeros((nb, s, 3 * s), dtype=dtype)
     ii = np.arange(s)
     diag[:, ii, s + ii] = mask.reshape(nb, s).astype(dtype)
-    # returned as numpy so callers may cache them across jit traces
-    return keep_row, keep_col[:, None, :], diag
+    # device arrays, to be created OUTSIDE any trace and cached by the
+    # caller: inside traced programs they are then closure parameters, not
+    # inlined HLO constants (the diag mask alone is n*3s elements)
+    return (
+        jnp.asarray(keep_row),
+        jnp.asarray(keep_col[:, None, :]),
+        jnp.asarray(diag),
+    )
 
 
 def bc_symmetrize_banded(band, keep_row, keep_col, diag):
     """Apply precomputed band_bc_masks: zero constrained rows/cols in band
     storage and put ones on their diagonal."""
-    return (
-        band * jnp.asarray(keep_row) * jnp.asarray(keep_col) + jnp.asarray(diag)
-    )
+    return band * keep_row * keep_col + diag
+
+
+def bc_symmetrize_banded_from_mask(band, bc: DirichletBC):
+    """bc_symmetrize on (nb, s, 3s) band storage with the masks built
+    in-trace from the (n,) Dirichlet mask.  The expanded masks are n*3s
+    elements — inlining them as HLO constants costs O(100MB) at large nx,
+    while this construction carries only the (n,) mask."""
+    nb, s = band.shape[0], band.shape[1]
+    mask01 = jnp.asarray(bc.mask).astype(band.dtype).reshape(nb, s)
+    keep = 1.0 - mask01  # (nb, s)
+    zero_row = jnp.zeros((1, s), dtype=band.dtype)
+    keep_up = jnp.concatenate([zero_row, keep[:-1]], axis=0)  # row j-1
+    keep_dn = jnp.concatenate([keep[1:], zero_row], axis=0)  # row j+1
+    keep_col = jnp.concatenate([keep_up, keep, keep_dn], axis=1)[:, None, :]
+    band = band * keep[:, :, None] * keep_col
+    ii = np.arange(s)
+    return band.at[:, ii, s + ii].add(mask01)
 
 
 def bc_zero_rows(Mat, bc: DirichletBC):

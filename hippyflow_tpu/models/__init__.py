@@ -2,6 +2,7 @@
 
 from .prior import (
     BiLaplacianPrior,
+    StructuredBiLaplacianPrior,
     LaplacianPrior,
     BiLaplacian2D,
     Laplacian2D,

@@ -44,6 +44,7 @@ from .jacobian import ObservableJacobian, jtj_matmat, jjt_matmat
 from .sampling import (
     SampleBatch,
     _jit_cache,
+    jit_lifted,
     linearize_batch,
     materialize_jacobians,
     sample_until_solved,
@@ -280,7 +281,11 @@ class ActiveSubspaceProjector:
                         )
                         return d, V, prior.R_matmat(V)
 
-                    cache[ck] = jax.jit(run)
+                    cache[ck] = jit_lifted(
+                        run,
+                        jax.ShapeDtypeStruct(self.Js.shape, self.Js.dtype),
+                        jax.ShapeDtypeStruct(Omega.shape, Omega.dtype),
+                    )
                 self.d_GN, self.V_GN, as_encoder = cache[ck](self.Js, Omega)
                 as_decoder = self.V_GN
             else:
@@ -309,7 +314,11 @@ class ActiveSubspaceProjector:
                         )
                         return double_pass(avg, Om, r, s=1)
 
-                    cache[ck] = jax.jit(run_hep)
+                    cache[ck] = jit_lifted(
+                        run_hep,
+                        jax.ShapeDtypeStruct(self.Js.shape, self.Js.dtype),
+                        jax.ShapeDtypeStruct(Omega.shape, Omega.dtype),
+                    )
                 self.d_GN, self.V_GN = cache[ck](self.Js, Omega)
             else:
                 self.d_GN, self.V_GN = double_pass(avg_JTJ, Omega, r, s=1)
@@ -356,7 +365,11 @@ class ActiveSubspaceProjector:
                     )
                     return double_pass(avg, Om, r, s=1)
 
-                cache[ck] = jax.jit(run)
+                cache[ck] = jit_lifted(
+                    run,
+                    jax.ShapeDtypeStruct(self.Js.shape, self.Js.dtype),
+                    jax.ShapeDtypeStruct(Omega.shape, Omega.dtype),
+                )
             self.d_NG, self.U_NG = cache[ck](self.Js, Omega)
         else:
             self.d_NG, self.U_NG = double_pass(avg_JJT, Omega, r, s=1)

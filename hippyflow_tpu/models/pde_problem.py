@@ -30,10 +30,9 @@ from ..fem import (
     DirichletBC,
     GalerkinForm,
     FunctionSpace,
-    band_bc_masks,
     bc_apply_rhs,
     bc_symmetrize,
-    bc_symmetrize_banded,
+    bc_symmetrize_banded_from_mask,
     mask_residual,
 )
 from ..ops.linalg import factorize
@@ -192,8 +191,11 @@ class VariationalPDEProblem:
         self._iterative_maxiter = 1000
         if self._use_block_tridiag:
             self._block_size = Vu.mesh.structured_shape[0] + 1
-            # static band-layout bc masks (computed lazily: dtype-dependent)
-            self._band_bc_cache = {}
+            # Materialize band indices on device now (outside any trace);
+            # bc masks are built in-trace from the (n,) mask — expanding them
+            # to n*3s as constants would put O(100MB) into the HLO at large
+            # nx (fem.bc_symmetrize_banded_from_mask).
+            self.bound.prepare_banded(self._block_size)
         self.bc = bc
         assert bc.mask.shape[0] == self.state_dim, (
             "DirichletBC mask length must match the (stacked) state dimension"
@@ -245,11 +247,7 @@ class VariationalPDEProblem:
         if self._use_block_tridiag:
             s = self._block_size
             band = self.bound.assemble_A_banded(u, m, z, s)
-            masks = self._band_bc_cache.get(str(band.dtype))
-            if masks is None:
-                masks = band_bc_masks(self.bc, s, dtype=band.dtype)
-                self._band_bc_cache[str(band.dtype)] = masks
-            band = bc_symmetrize_banded(band, *masks)
+            band = bc_symmetrize_banded_from_mask(band, self.bc)
             if self._structured_solver == "block_cyclic":
                 return factorize_block_cyclic_banded(
                     band, with_transpose=with_transpose

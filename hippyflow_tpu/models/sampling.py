@@ -46,6 +46,24 @@ def _jit_cache(obj):
     return obj._hf_jit_cache
 
 
+def jit_lifted(fn, *example_args):
+    """jit with closure constants lifted to arguments.
+
+    jax inlines closure-captured arrays into the lowered HLO as literal
+    constants; with the mesh tables, coefficient tables, band indices and
+    prior bands captured by the FEM programs that is tens-to-hundreds of MB
+    of HLO at large nx — enough to break remote-compile transports.
+    `jax.closure_convert` extracts the captured arrays; passing them as call
+    arguments keeps the compile payload small and the buffers shared."""
+    converted, consts = jax.closure_convert(fn, *example_args)
+    jfn = jax.jit(converted)
+
+    def call(*args):
+        return jfn(*args, *consts)
+
+    return call
+
+
 @dataclass
 class SampleBatch:
     """Solved forward samples. Arrays have leading sample axis."""
@@ -93,21 +111,31 @@ def sample_until_solved(
     with_control = control_distribution is not None
 
     cache = _jit_cache(observable)
-    ck = ("sample_solve", with_control, id(prior))
-    if ck not in cache:
 
-        def one(noise, z):
-            m = prior.sample(noise)
-            u, info = problem.solve_fwd(m, z=z)
-            q = observable.evalu(u)
-            return m, u, q, info.converged
+    def one(noise, z):
+        m = prior.sample(noise)
+        u, info = problem.solve_fwd(m, z=z)
+        q = observable.evalu(u)
+        return m, u, q, info.converged
 
-        if with_control:
-            cache[ck] = jax.jit(jax.vmap(one))
-        else:
-            cache[ck] = jax.jit(jax.vmap(one, in_axes=(0, None)))
+    def get_solve_chunk(b: int):
+        ck = ("sample_solve", with_control, id(prior), b, str(dtype))
+        if ck not in cache:
+            noise_ex = jax.ShapeDtypeStruct((b, prior.noise_dim), dtype)
+            if with_control:
+                z_ex = jax.ShapeDtypeStruct(
+                    (b, control_distribution.dim), dtype
+                )
+                cache[ck] = jit_lifted(jax.vmap(one), noise_ex, z_ex)
+            else:
+                lifted = jit_lifted(
+                    jax.vmap(lambda noise: one(noise, None)), noise_ex
+                )
+                cache[ck] = lambda noise, z: lifted(noise)
+        return cache[ck]
 
-    solve_chunk = cache[ck]
+    def solve_chunk(noise, z):
+        return get_solve_chunk(noise.shape[0])(noise, z)
 
     # Stage 1: dispatch every chunk's batched solve without reading results —
     # async dispatch pipelines the host round trips (one sync per chunk costs
@@ -200,23 +228,32 @@ def materialize_jacobians(
         chunk_size = auto_chunk_size(problem.state_dim, ms.dtype, problem=problem)
 
     cache = _jit_cache(observable)
-    ck = ("materialize", control, zs is not None)
-    if ck not in cache:
 
-        def one(m, u, z):
-            lin = problem.linearize(u, m, z)
-            return J.materialize(lin)
+    def one(m, u, z):
+        lin = problem.linearize(u, m, z)
+        return J.materialize(lin)
 
-        in_axes = (0, 0, 0 if zs is not None else None)
-        cache[ck] = jax.jit(jax.vmap(one, in_axes=in_axes))
-    fn = cache[ck]
+    def get_fn(b: int):
+        ck = ("materialize", control, zs is not None, b, str(ms.dtype))
+        if ck not in cache:
+            m_ex = jax.ShapeDtypeStruct((b, ms.shape[1]), ms.dtype)
+            u_ex = jax.ShapeDtypeStruct((b, us.shape[1]), us.dtype)
+            if zs is not None:
+                z_ex = jax.ShapeDtypeStruct((b, zs.shape[1]), zs.dtype)
+                cache[ck] = jit_lifted(jax.vmap(one), m_ex, u_ex, z_ex)
+            else:
+                lifted = jit_lifted(
+                    jax.vmap(lambda m, u: one(m, u, None)), m_ex, u_ex
+                )
+                cache[ck] = lambda m, u, z: lifted(m, u)
+        return cache[ck]
 
     outs = []
     n = ms.shape[0]
     for s in range(0, n, chunk_size):
         e = min(s + chunk_size, n)
         z_chunk = zs[s:e] if zs is not None else None
-        outs.append(fn(ms[s:e], us[s:e], z_chunk))
+        outs.append(get_fn(e - s)(ms[s:e], us[s:e], z_chunk))
     return jnp.concatenate(outs)
 
 

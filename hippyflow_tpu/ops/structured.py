@@ -360,3 +360,66 @@ def factorize_block_cyclic_banded(band, with_transpose: bool = True) -> BlockCyc
         band[:, :, 2 * s :],
         with_transpose=with_transpose,
     )
+
+
+def block_tridiag_matmat(band, X):
+    """A @ X for band storage (nb, s, 3s); X: (n,) or (n, k).
+
+    The O(n s) matvec that replaces dense prior-operator matmuls on large
+    structured meshes."""
+    squeeze = X.ndim == 1
+    if squeeze:
+        X = X[:, None]
+    nb, s = band.shape[0], band.shape[1]
+    xb = X.reshape(nb, s, -1)
+    L_A = band[:, :, :s]
+    D = band[:, :, s : 2 * s]
+    B = band[:, :, 2 * s :]
+    y = jnp.einsum("kij,kjl->kil", D, xb)
+    y = y.at[1:].add(jnp.einsum("kij,kjl->kil", L_A[1:], xb[:-1]))
+    y = y.at[:-1].add(jnp.einsum("kij,kjl->kil", B[:-1], xb[1:]))
+    out = y.reshape(nb * s, -1)
+    return out[:, 0] if squeeze else out
+
+
+class BlockBidiagCholesky(NamedTuple):
+    """Block-bidiagonal Cholesky factor L of an SPD block-tridiagonal matrix
+    (M = L L^T): diagonal blocks C (lower-triangular), subdiagonal blocks
+    Off.  Because Cholesky preserves the band, this IS the dense Cholesky
+    factor of M — sqrt-mass sampling through it matches the dense prior."""
+
+    C: jax.Array  # (nb, s, s) lower-triangular diagonal blocks
+    Off: jax.Array  # (nb, s, s) subdiagonal blocks (Off[0] = 0)
+
+    def matvec_L(self, X):
+        """L @ X; X: (n,) or (n, k)."""
+        squeeze = X.ndim == 1
+        if squeeze:
+            X = X[:, None]
+        nb, s = self.C.shape[0], self.C.shape[1]
+        xb = X.reshape(nb, s, -1)
+        y = jnp.einsum("kij,kjl->kil", jnp.tril(self.C), xb)
+        y = y.at[1:].add(jnp.einsum("kij,kjl->kil", self.Off[1:], xb[:-1]))
+        out = y.reshape(nb * s, -1)
+        return out[:, 0] if squeeze else out
+
+
+def block_cholesky_tridiag(band) -> BlockBidiagCholesky:
+    """Block Cholesky of an SPD matrix in (nb, s, 3s) band storage.
+
+    Recurrence: Off_j = A_j C_{j-1}^{-T},  C_j = chol(D_j - Off_j Off_j^T)."""
+    s = band.shape[1]
+    L_A = band[:, :, :s]
+    D = band[:, :, s : 2 * s]
+
+    def step(C_prev, inputs):
+        Dj, Aj = inputs
+        Off = jsl.solve_triangular(C_prev, Aj.T, lower=True).T  # A C^{-T}
+        Cj = jnp.linalg.cholesky(Dj - Off @ Off.T)
+        return Cj, (Cj, Off)
+
+    C0 = jnp.linalg.cholesky(D[0])
+    _, (Cs, Offs) = jax.lax.scan(step, C0, (D[1:], L_A[1:]))
+    C_all = jnp.concatenate([C0[None], Cs], axis=0)
+    Off_all = jnp.concatenate([jnp.zeros_like(C0)[None], Offs], axis=0)
+    return BlockBidiagCholesky(C=C_all, Off=Off_all)
