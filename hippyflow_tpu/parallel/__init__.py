@@ -5,4 +5,5 @@ from .collective import (
     MatrixMultCollectiveOperator,
     make_sample_fem_mesh,
     check_consistent_sharding,
+    initialize_distributed,
 )

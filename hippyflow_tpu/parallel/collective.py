@@ -5,11 +5,16 @@ allReduce/bcast over a 2D process grid (mesh-subdomains x sample-instances,
 `comm_utils.py:19-40`).  The TPU-native mapping (SURVEY.md section 5.8):
 
 * sample parallelism  -> arrays carrying a leading sample axis sharded over
-  the 'sample' axis of a `jax.sharding.Mesh`; Monte-Carlo expectations are
-  plain `jnp.mean` over that axis — XLA inserts the all-reduce over ICI.
+  the 'sample' axis of a `jax.sharding.Mesh`; Monte-Carlo expectations
+  reduce with `lax.pmean` inside `shard_map` (or, under jit, a plain
+  `jnp.mean` for which XLA inserts the same all-reduce over ICI).
 * bcast of the random probe Omega -> generating Omega from a replicated PRNG
   key (identical on every device); no communication at all.
-* mesh/domain parallelism -> dof-axis sharding on a second mesh axis ('fem').
+* mesh/domain parallelism -> dof-axis sharding on a second mesh axis ('fem')
+  (see `parallel/dist_banded.py`).
+* multi-host -> `initialize_distributed()` (jax.distributed) before any
+  backend use; the same mesh/axis code then spans all processes' devices
+  and the shard_map collectives ride ICI within a slice and DCN across.
 
 ``NullCollective`` preserves the reference's serial test double
 (`collectives/collective.py:19-38`).
@@ -17,10 +22,42 @@ allReduce/bcast over a 2D process grid (mesh-subdomains x sample-instances,
 
 from __future__ import annotations
 
+import os
+import warnings
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Multi-process (multi-host / multi-slice) runtime init.
+
+    The analog of the reference's `MPI_Init`-provided world
+    (`collectives/comm_utils.py`): after this, `jax.devices()` spans every
+    process's chips and all mesh axes / collectives in this module work
+    across hosts (DCN for the cross-slice hops).  Called explicitly or
+    automatically when HIPPYFLOW_TPU_DISTRIBUTED=1 (cluster-autodetect
+    environments: GKE/SLURM set the coordination env vars jax reads).
+
+    Returns True when running multi-process after the call.
+    """
+    already = jax.process_count() > 1
+    if not already and (
+        coordinator_address is not None
+        or os.environ.get("HIPPYFLOW_TPU_DISTRIBUTED") == "1"
+    ):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_count() > 1
 
 
 class NullCollective:
@@ -49,8 +86,13 @@ class NullCollective:
 class DeviceCollective:
     """Collective backed by a device mesh axis.
 
-    Unlike MPI, there is no SPMD rank divergence: this object shards
-    sample-batched arrays and relies on XLA collectives for reductions.
+    Unlike MPI there is no SPMD rank divergence: a "per-rank contribution"
+    is an array whose leading axis is sharded over the mesh axis, and the
+    reductions below are real XLA collectives (`lax.psum/pmean` inside
+    `shard_map`), the literal analog of the reference's
+    `MPI.Allreduce` (`collectives/collective.py:61-71`).  The same program
+    runs single-process (virtual or real devices) and multi-process after
+    `initialize_distributed()`.
     """
 
     def __init__(self, mesh: Mesh | None = None, axis: str = "sample"):
@@ -68,14 +110,50 @@ class DeviceCollective:
         # Single-controller SPMD: rank is only meaningful per-process.
         return jax.process_index()
 
+    # --- real reductions ----------------------------------------------------
+    def _divisible(self, x) -> bool:
+        return jnp.ndim(x) >= 1 and x.shape[0] % self.size() == 0
+
+    def psum_contributions(self, v, mean: bool = False):
+        """Reduce per-device contributions: v has one leading-axis slice per
+        position along the collective axis; returns the sum (or mean) over
+        that axis computed with `lax.psum` inside `shard_map` — a real
+        collective that survives multi-process execution."""
+        v = jnp.asarray(v)
+        n = self.size()
+        assert v.shape[0] % n == 0, (
+            f"leading axis {v.shape[0]} not divisible by collective size {n}"
+        )
+        spec = P(self.axis, *([None] * (v.ndim - 1)))
+        rep = P(*([None] * (v.ndim - 1)))
+
+        def red(x):  # x: (shape[0]/n, ...) local slice
+            return jax.lax.psum(jnp.sum(x, axis=0), self.axis)
+
+        out = jax.shard_map(
+            red, mesh=self.mesh, in_specs=spec, out_specs=rep
+        )(self.shard_samples(v))
+        return out / v.shape[0] if mean else out
+
     def allReduce(self, v, op: str = "avg"):
-        # Arrays sharded by shard_samples reduce globally via jnp ops; host
-        # scalars are already replicated. Kept for API parity.
+        """MPI-allReduce analog.  An array with a leading contributions axis
+        (length divisible by the collective size) is reduced over that axis
+        with a shard_map psum; a scalar / non-divisible array is treated as
+        already replicated (every "rank" holds the same value), so 'avg' is
+        the identity and 'sum' scales by the collective size, matching the
+        MPI result for replicated inputs."""
         assert op in ("sum", "avg")
-        return v
+        if jnp.ndim(v) == 0 or not self._divisible(v):
+            return v * self.size() if op == "sum" else v
+        return self.psum_contributions(v, mean=(op == "avg"))
 
     def bcast(self, v, root: int = 0):
-        return v
+        """Replicate v across the collective axis.  Under single-controller
+        SPMD every value already originates replicated; this materializes
+        that as an explicit fully-replicated sharding (the analog of
+        `MPI.Bcast`, reference `collective.py:119-152`)."""
+        v = jnp.asarray(v)
+        return jax.device_put(v, NamedSharding(self.mesh, P()))
 
     def shard_samples(self, x):
         """Shard the leading (sample) axis of x across the mesh axis."""
@@ -84,7 +162,13 @@ class DeviceCollective:
         return jax.device_put(x, NamedSharding(self.mesh, spec))
 
     def sample_mean(self, x, axis: int = 0):
-        """Mean over the (sharded) sample axis: XLA emits the all-reduce."""
+        """Mean over the (sharded) sample axis.
+
+        Outside a trace, on a divisibly-sharded axis-0 input, this runs the
+        explicit shard_map pmean; inside jit (tracers) it lowers to
+        `jnp.mean`, for which XLA inserts the identical all-reduce."""
+        if axis == 0 and not isinstance(x, jax.core.Tracer) and self._divisible(x):
+            return self.psum_contributions(x, mean=True)
         return jnp.mean(x, axis=axis)
 
 
@@ -93,10 +177,11 @@ class CollectiveOperator:
     the sample-averaged operator fed to eigensolvers (reference
     `collectives/collectiveOperator.py:14-55`).
 
-    Wraps a *local* matmat/operator; with a DeviceCollective the wrapped
-    matmat is expected to consume sample-sharded arrays, so the reduction is
-    the jnp mean XLA already emits and `allReduce` is the identity — the
-    class exists for structural parity and for custom collectives."""
+    The wrapped op either returns per-contribution results with a leading
+    axis matching the collective size (reduced here with a real psum/pmean)
+    or an already-reduced replicated array (sample-sharded inputs whose
+    reduction XLA emitted inside the op), for which allReduce('avg') is the
+    identity by construction."""
 
     def __init__(self, op, collective, mpi_op: str = "avg"):
         self.op = op if callable(op) else op.matmat
@@ -126,11 +211,36 @@ def make_sample_fem_mesh(n_sample: int, n_fem: int = 1) -> Mesh:
     return Mesh(devs.reshape(n_sample, n_fem), ("sample", "fem"))
 
 
-def check_consistent_sharding(x, expected_axis: str = "sample") -> bool:
-    """Sharding-spec assertion replacing the reference's
-    checkMeshConsistentPartitioning (`comm_utils.py:62-75`)."""
+def check_consistent_sharding(
+    x, expected_axis: str = "sample", warn_unsharded: bool = True
+) -> bool:
+    """Partitioning assertion replacing the reference's
+    checkMeshConsistentPartitioning (`comm_utils.py:62-75`).
+
+    Returns False — the failure the reference's check raises on — when x is
+    sharded over a *different* mesh axis than expected on its leading
+    dimension (the wrong-partitioning bug class).  Unsharded/replicated
+    inputs are consistent but defeat sample parallelism, so they pass with
+    a warning."""
     sh = getattr(x, "sharding", None)
     if sh is None or not isinstance(sh, NamedSharding):
+        if warn_unsharded:
+            warnings.warn(
+                f"array is not mesh-sharded (expected leading axis on "
+                f"'{expected_axis}'); sample parallelism is inactive",
+                stacklevel=2,
+            )
         return True
     spec = sh.spec
-    return len(spec) == 0 or spec[0] in (None, expected_axis)
+    leading = spec[0] if len(spec) > 0 else None
+    if leading is None:
+        if warn_unsharded:
+            warnings.warn(
+                f"leading axis is replicated, not sharded on "
+                f"'{expected_axis}'; sample parallelism is inactive",
+                stacklevel=2,
+            )
+        return True
+    if isinstance(leading, (tuple, list)):
+        return expected_axis in leading
+    return leading == expected_axis

@@ -35,6 +35,78 @@ def test_shard_samples_roundtrip():
     assert float(coll.sample_mean(xs).sum()) == float(x.mean(axis=0).sum())
 
 
+def test_shard_map_pmean_allreduce():
+    """allReduce on per-device contributions is a real shard_map psum/pmean
+    matching the serial reduction (reference MPI.Allreduce semantics,
+    `collectives/collective.py:61-71`)."""
+    coll = DeviceCollective()
+    n = coll.size()
+    v = jnp.arange(2 * n * 3.0).reshape(2 * n, 3)  # 2 contributions/device
+    got_avg = coll.allReduce(v, "avg")
+    got_sum = coll.allReduce(v, "sum")
+    np.testing.assert_allclose(np.asarray(got_avg), np.asarray(v.mean(0)), rtol=1e-15)
+    np.testing.assert_allclose(np.asarray(got_sum), np.asarray(v.sum(0)), rtol=1e-15)
+    # result is fully replicated across the mesh
+    assert not got_avg.sharding.is_fully_addressable or got_avg.sharding.is_fully_replicated
+    # replicated inputs: avg is identity, sum scales by size (MPI parity)
+    assert float(coll.allReduce(3.0, "sum")) == 3.0 * n
+    assert float(coll.allReduce(3.0, "avg")) == 3.0
+    # sample_mean outside a trace takes the explicit shard_map path
+    np.testing.assert_allclose(
+        np.asarray(coll.sample_mean(v)), np.asarray(v.mean(0)), rtol=1e-15
+    )
+
+
+def test_collective_operator_reduces_contributions():
+    """CollectiveOperator with an op emitting per-contribution results
+    performs the real cross-device average (reference
+    `collectiveOperator.py:14-55`)."""
+    from hippyflow_tpu.parallel import CollectiveOperator
+
+    coll = DeviceCollective()
+    n = coll.size()
+    A = jax.random.normal(jax.random.PRNGKey(0), (n, 6, 6))
+
+    def local_op(X):  # per-device contribution A_i @ X
+        return jnp.einsum("sij,jk->sik", A, X)
+
+    op = CollectiveOperator(local_op, coll, "avg")
+    X = jax.random.normal(jax.random.PRNGKey(1), (6, 4))
+    np.testing.assert_allclose(
+        np.asarray(op.matmat(X)), np.asarray(A.mean(0) @ X), rtol=1e-12
+    )
+
+
+def test_check_consistent_sharding_fails_on_wrong_axis():
+    """The partitioning check must FAIL on a wrong-axis sharding and warn on
+    unsharded input (reference `comm_utils.py:62-75` is a real assertion)."""
+    import warnings
+
+    mesh = make_sample_fem_mesh(4, 2)
+    x = jnp.arange(32.0).reshape(8, 4)
+    wrong = jax.device_put(x, NamedSharding(mesh, P("fem", None)))
+    assert not check_consistent_sharding(wrong, expected_axis="sample")
+    right = jax.device_put(x, NamedSharding(mesh, P("sample", None)))
+    assert check_consistent_sharding(right, expected_axis="sample")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert check_consistent_sharding(jnp.ones(4))
+        assert any("not mesh-sharded" in str(x.message) for x in w)
+    replicated = jax.device_put(x, NamedSharding(mesh, P()))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert check_consistent_sharding(replicated)
+        assert any("replicated" in str(x.message) for x in w)
+
+
+def test_bcast_replicates():
+    coll = DeviceCollective()
+    v = jnp.arange(6.0)
+    out = coll.bcast(v)
+    assert out.sharding.is_fully_replicated
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(v))
+
+
 def test_sharded_gn_expectation_matches_unsharded():
     """E[J^T J] X with a device-sharded sample axis == serial result."""
     key = jax.random.PRNGKey(0)
