@@ -241,13 +241,23 @@ class StructuredBiLaplacianPrior:
         robin_bc: bool = False,
         dtype=None,
         materialize: bool = True,
+        mesh=None,
+        fem_axis: str = "fem",
     ):
         """materialize=True precomputes device bands and factorizations once
         (fast eager use). materialize=False stores only O(nc) element data
         and (re)assembles + factorizes *inside each trace*: jitted programs
         then carry only small constants — required where the lowered HLO
         must stay small (remote-compile transports cap the payload, and jax
-        inlines closure-captured arrays as HLO literals)."""
+        inlines closure-captured arrays as HLO literals).
+
+        mesh: a `jax.sharding.Mesh` with a ``fem_axis`` axis enables
+        dof-axis (domain-decomposition) parallelism: every operator shards
+        its block rows over that axis — matvecs via halo-exchange shard_map,
+        solves via the partitioned-SPIKE factorization
+        (`parallel/dist_banded.py`), the TPU analog of the reference's
+        dolfin-distributed vectors over `mesh_constructor_comm`
+        (`comm_utils.py:19-40`)."""
         from ..fem.assembly import (
             boundary_mass_matrix_banded,
             mass_matrix_banded,
@@ -259,6 +269,10 @@ class StructuredBiLaplacianPrior:
         dtype = dtype or config.default_dtype()
         self.Vh = Vh
         self.gamma, self.delta = float(gamma), float(delta)
+        self._mesh, self._fem_axis = mesh, fem_axis
+        if mesh is not None:
+            assert materialize, "dof-sharded prior requires materialize=True"
+            assert fem_axis in mesh.axis_names
 
         M_band = mass_matrix_banded(Vh, dtype=dtype)
         A_band = stiffness_matrix_banded(
@@ -269,7 +283,14 @@ class StructuredBiLaplacianPrior:
             beta = math.sqrt(self.gamma * self.delta) / 1.42
             K_band = K_band + beta * boundary_mass_matrix_banded(Vh, dtype=dtype)
         self.A = None  # no dense operator; use the matmat interface
-        self._mv = block_tridiag_matmat
+        if mesh is None:
+            self._mv = block_tridiag_matmat
+        else:
+            from ..parallel.dist_banded import dist_block_tridiag_matmat
+
+            self._mv = lambda band, X: dist_block_tridiag_matmat(
+                mesh, band, X, axis=fem_axis
+            )
         self._materialize = bool(materialize)
         if self._materialize:
             self.M_band = jnp.asarray(M_band)
@@ -313,17 +334,48 @@ class StructuredBiLaplacianPrior:
             mean = jnp.zeros(Vh.dim, dtype=dtype)
         self.mean = jnp.asarray(mean, dtype=dtype)
 
-    @staticmethod
-    def _build_ops(M_band, K_band):
+    def _build_ops(self, M_band, K_band):
         from ..ops.structured import (
             block_cholesky_tridiag,
             factorize_block_cyclic_banded,
         )
 
-        K_fac = factorize_block_cyclic_banded(K_band, with_transpose=False)
-        M_fac = factorize_block_cyclic_banded(M_band, with_transpose=False)
         M_chol = block_cholesky_tridiag(M_band)
-        return (K_fac, M_fac, M_chol, M_band, K_band)
+        if self._mesh is None:
+            K_fac = factorize_block_cyclic_banded(K_band, with_transpose=False)
+            M_fac = factorize_block_cyclic_banded(M_band, with_transpose=False)
+            return (K_fac, M_fac, M_chol, M_band, K_band)
+
+        # dof-sharded path: SPIKE factors with partition axis on 'fem';
+        # sqrt-mass matvec L@x is itself a banded matvec (band [Off, C, 0]),
+        # so it reuses the halo-exchange shard_map kernel.
+        from ..parallel.dist_banded import (
+            factorize_distributed_banded,
+            place_on_mesh,
+        )
+
+        mesh, axis = self._mesh, self._fem_axis
+        n_parts = mesh.shape[axis]
+        K_fac = place_on_mesh(
+            factorize_distributed_banded(K_band, n_parts, with_transpose=False),
+            mesh,
+            axis,
+        )
+        M_fac = place_on_mesh(
+            factorize_distributed_banded(M_band, n_parts, with_transpose=False),
+            mesh,
+            axis,
+        )
+        band_L = jnp.concatenate(
+            [M_chol.Off, jnp.tril(M_chol.C), jnp.zeros_like(M_chol.C)], axis=2
+        )
+        mv = self._mv
+
+        class _DistChol:
+            def matvec_L(self, X, _band=band_L, _mv=mv):
+                return _mv(_band, X)
+
+        return (K_fac, M_fac, _DistChol(), M_band, K_band)
 
     def _band_idx(self, conn):
         """Band scatter indices for a connectivity array (numpy)."""

@@ -7,3 +7,9 @@ from .collective import (
     check_consistent_sharding,
     initialize_distributed,
 )
+from .dist_banded import (
+    DistributedBandedFactor,
+    dist_block_tridiag_matmat,
+    factorize_distributed_banded,
+    place_on_mesh,
+)

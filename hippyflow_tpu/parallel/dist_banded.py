@@ -1,0 +1,289 @@
+"""Dof-axis ('fem') sharded block-tridiagonal operators.
+
+The reference's parallelism strategy #1 is mesh/domain decomposition:
+dolfin/PETSc-distributed vectors and matrices over `mesh_constructor_comm`
+(`/root/reference/hippyflow/collectives/comm_utils.py:19-40`).  The
+TPU-native mapping shards the dof (block-row) axis of banded FEM operators
+over the 'fem' axis of the device mesh:
+
+* ``dist_block_tridiag_matmat`` — `shard_map` over block rows with a
+  one-block-row halo exchange each way (`lax.ppermute`), the SpMV/halo
+  pattern of SURVEY.md §5.8.  O(n s / P) flops per shard, O(s k) bytes on
+  the ICI per application.
+* ``factorize_distributed_banded`` / ``DistributedBandedFactor`` — a
+  partitioned (SPIKE-style) direct solve: every shard factorizes its own
+  band chunk independently (block cyclic reduction, `ops/structured.py`),
+  interface coupling is captured by two s-column "spikes" per shard, and a
+  small replicated reduced system (2P blocks of size s) stitches the
+  interface unknowns together.  The local solves are embarrassingly
+  parallel over 'fem'; only the O(P s k) interface tips cross the ICI.
+
+Partitioned solve, math
+-----------------------
+Split the nb block rows into P contiguous chunks.  With D_p the local
+block-tridiagonal chunk, A_p = a_{pL} the coupling of chunk p's first row to
+its left neighbor's last row, and B_p = b_{(p+1)L-1} the coupling of its last
+row to the right neighbor's first row, the global system reads
+
+    D_p x_p + (e_first ⊗ A_p) x_{p-1}^{last} + (e_last ⊗ B_p) x_{p+1}^{first} = f_p.
+
+With y_p = D_p^{-1} f_p and spikes W_p = D_p^{-1}(e_first ⊗ A_p),
+V_p = D_p^{-1}(e_last ⊗ B_p):
+
+    x_p = y_p - W_p x_{p-1}^{last} - V_p x_{p+1}^{first}.
+
+Taking the first/last block rows of that identity closes a reduced system in
+the 2P interface unknowns (t_p = x_p^{first}, u_p = x_p^{last}) whose matrix
+depends only on the spike tips; it is factorized once (dense LU, size 2Ps)
+and solved replicated on every shard.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.structured import (
+    BlockCyclicFactor,
+    _transpose_band,
+    factorize_block_cyclic,
+)
+
+
+def _pad_band(band, n_parts: int):
+    """Pad the block-row axis to a multiple of n_parts with identity rows.
+
+    Pad rows have identity diagonal blocks and zero couplings, so the padded
+    matrix is block-diagonal [[A, 0], [0, I]]: solves and matvecs on the
+    original rows are unchanged and pad solution entries equal the (zero)
+    pad rhs."""
+    nb, s = band.shape[0], band.shape[1]
+    nb_pad = -(-nb // n_parts) * n_parts
+    if nb_pad == nb:
+        return band, nb_pad
+    pad = jnp.zeros((nb_pad - nb, s, 3 * s), dtype=band.dtype)
+    eye = jnp.eye(s, dtype=band.dtype)
+    pad = pad.at[:, :, s : 2 * s].set(eye)
+    return jnp.concatenate([band, pad], axis=0), nb_pad
+
+
+def _pad_rhs(X, n: int, n_pad: int):
+    if n_pad == n:
+        return X
+    return jnp.concatenate(
+        [X, jnp.zeros((n_pad - n,) + X.shape[1:], dtype=X.dtype)], axis=0
+    )
+
+
+def dist_block_tridiag_matmat(mesh: Mesh, band, X, axis: str = "fem"):
+    """A @ X with the block-row axis sharded over ``axis`` of ``mesh``.
+
+    shard_map kernel: each shard multiplies its local band chunk; the
+    neighbor block rows it needs (one each way) arrive by `lax.ppermute`
+    halo exchange.  Boundary shards receive ppermute's zero fill, which is
+    exact because the global matrix has no coupling there (a_0 = b_{nb-1}
+    = 0; pad rows couple to nothing)."""
+    n_parts = mesh.shape[axis]
+    squeeze = X.ndim == 1
+    if squeeze:
+        X = X[:, None]
+    nb, s = band.shape[0], band.shape[1]
+    band_p, nb_pad = _pad_band(band, n_parts)
+    xb = _pad_rhs(X, nb * s, nb_pad * s).reshape(nb_pad, s, -1)
+
+    fwd = [(i, i + 1) for i in range(n_parts - 1)]  # halo to the right
+    bwd = [(i + 1, i) for i in range(n_parts - 1)]  # halo to the left
+
+    def kernel(band_loc, x_loc):
+        a = band_loc[:, :, :s]
+        d = band_loc[:, :, s : 2 * s]
+        b = band_loc[:, :, 2 * s :]
+        left = jax.lax.ppermute(x_loc[-1], axis, fwd)  # neighbor's last row
+        right = jax.lax.ppermute(x_loc[0], axis, bwd)  # neighbor's first row
+        x_prev = jnp.concatenate([left[None], x_loc[:-1]], axis=0)
+        x_next = jnp.concatenate([x_loc[1:], right[None]], axis=0)
+        return (
+            jnp.einsum("kij,kjl->kil", d, x_loc)
+            + jnp.einsum("kij,kjl->kil", a, x_prev)
+            + jnp.einsum("kij,kjl->kil", b, x_next)
+        )
+
+    spec = P(axis, None, None)
+    y = jax.shard_map(
+        kernel, mesh=mesh, in_specs=(spec, spec), out_specs=spec
+    )(band_p, xb)
+    out = y.reshape(nb_pad * s, -1)[: nb * s]
+    return out[:, 0] if squeeze else out
+
+
+def _partition_band(band_p, n_parts: int):
+    """Split a padded band into per-partition chunks + coupling blocks.
+
+    Returns (local (Pn, L, s, 3s) with boundary couplings zeroed,
+    A_c (Pn, s, s) left couplings, B_c (Pn, s, s) right couplings)."""
+    nb_pad, s = band_p.shape[0], band_p.shape[1]
+    L = nb_pad // n_parts
+    chunks = band_p.reshape(n_parts, L, s, 3 * s)
+    A_c = chunks[:, 0, :, :s]  # includes a_0 = 0 for p=0
+    B_c = chunks[:, -1, :, 2 * s :]
+    local = chunks.at[:, 0, :, :s].set(0.0)
+    local = local.at[:, -1, :, 2 * s :].set(0.0)
+    return local, A_c, B_c
+
+
+class _SpikeSide:
+    """Partitioned factorization of one direction (A or A^T)."""
+
+    def __init__(self, local_fac, W, V, R_lu, R_piv):
+        self.local_fac = local_fac  # BlockCyclicFactor batched over partitions
+        self.W = W  # (Pn, L*s, s) left spikes
+        self.V = V  # (Pn, L*s, s) right spikes
+        self.R_lu = R_lu  # (2 Pn s, 2 Pn s) reduced-system LU
+        self.R_piv = R_piv
+
+    def leaves(self):
+        return (self.local_fac, self.W, self.V, self.R_lu, self.R_piv)
+
+
+def _build_side(band_p, n_parts: int) -> _SpikeSide:
+    nb_pad, s = band_p.shape[0], band_p.shape[1]
+    L = nb_pad // n_parts
+    local, A_c, B_c = _partition_band(band_p, n_parts)
+
+    def fac_one(chunk):
+        a = chunk[:, :, :s]
+        d = chunk[:, :, s : 2 * s]
+        b = chunk[:, :, 2 * s :]
+        return factorize_block_cyclic(d, a, b, with_transpose=False)
+
+    local_fac = jax.vmap(fac_one)(local)
+
+    # spikes: W_p = D_p^{-1} (e_first ⊗ A_p), V_p = D_p^{-1} (e_last ⊗ B_p)
+    rhs_W = jnp.zeros((n_parts, L * s, s), dtype=band_p.dtype)
+    rhs_W = rhs_W.at[:, :s, :].set(A_c)
+    rhs_V = jnp.zeros((n_parts, L * s, s), dtype=band_p.dtype)
+    rhs_V = rhs_V.at[:, -s:, :].set(B_c)
+    solve_loc = jax.vmap(lambda F, b: F.solve(b))
+    W = solve_loc(local_fac, rhs_W)
+    V = solve_loc(local_fac, rhs_V)
+
+    # reduced system over interface unknowns [t_0, u_0, t_1, u_1, ...]
+    Wf, Wl = W[:, :s, :], W[:, -s:, :]
+    Vf, Vl = V[:, :s, :], V[:, -s:, :]
+    R = jnp.eye(2 * n_parts * s, dtype=band_p.dtype).reshape(
+        2 * n_parts, s, 2 * n_parts, s
+    )
+    p = jnp.arange(1, n_parts)  # rows with a left neighbor
+    R = R.at[2 * p, :, 2 * (p - 1) + 1, :].add(Wf[1:])
+    R = R.at[2 * p + 1, :, 2 * (p - 1) + 1, :].add(Wl[1:])
+    q = jnp.arange(0, n_parts - 1)  # rows with a right neighbor
+    R = R.at[2 * q, :, 2 * (q + 1), :].add(Vf[:-1])
+    R = R.at[2 * q + 1, :, 2 * (q + 1), :].add(Vl[:-1])
+    R_lu, R_piv = jsl.lu_factor(R.reshape(2 * n_parts * s, 2 * n_parts * s))
+    return _SpikeSide(local_fac, W, V, R_lu, R_piv)
+
+
+def _solve_side(side: _SpikeSide, rhs_pad, s: int):
+    """rhs_pad: (nb_pad * s, k) padded rhs; returns padded solution."""
+    n_parts = side.W.shape[0]
+    L = side.W.shape[1] // s
+    f = rhs_pad.reshape(n_parts, L * s, -1)
+    k = f.shape[-1]
+    y = jax.vmap(lambda F, b: F.solve(b))(side.local_fac, f)  # local solves
+
+    # interface tips -> replicated reduced solve (XLA all-gathers the tips)
+    y_red = jnp.stack([y[:, :s, :], y[:, -s:, :]], axis=1)  # (Pn, 2, s, k)
+    x_red = jsl.lu_solve(
+        (side.R_lu, side.R_piv), y_red.reshape(2 * n_parts * s, k)
+    ).reshape(n_parts, 2, s, k)
+    t, u = x_red[:, 0], x_red[:, 1]
+    zero = jnp.zeros((1, s, k), dtype=f.dtype)
+    u_prev = jnp.concatenate([zero, u[:-1]], axis=0)
+    t_next = jnp.concatenate([t[1:], zero], axis=0)
+
+    x = (
+        y
+        - jnp.einsum("pns,psk->pnk", side.W, u_prev)
+        - jnp.einsum("pns,psk->pnk", side.V, t_next)
+    )
+    return x.reshape(n_parts * L * s, k)
+
+
+@jax.tree_util.register_pytree_node_class
+class DistributedBandedFactor:
+    """Dof-sharded direct factorization of a block-tridiagonal matrix.
+
+    Drop-in for `BlockCyclicFactor` (same ``solve(rhs, trans=...)``
+    surface), so it slots into `Linearization.factor` and the prior solver
+    stack unchanged.  Local per-partition work carries a leading partition
+    axis meant to live on the 'fem' mesh axis (see ``place_on_mesh``)."""
+
+    def __init__(self, fwd: _SpikeSide, adj: _SpikeSide | None, n: int, s: int):
+        self.fwd = fwd
+        self.adj = adj
+        self.n = n  # true (unpadded) matrix size
+        self.s = s
+
+    def tree_flatten(self):
+        adj_leaves = None if self.adj is None else self.adj.leaves()
+        return (self.fwd.leaves(), adj_leaves), (self.n, self.s, self.adj is None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        n, s, no_adj = aux
+        fwd = _SpikeSide(*children[0])
+        adj = None if no_adj else _SpikeSide(*children[1])
+        return cls(fwd, adj, n, s)
+
+    def solve(self, rhs, trans: bool = False):
+        side = self.adj if trans else self.fwd
+        assert side is not None, (
+            "factorized with with_transpose=False; adjoint solves unavailable"
+        )
+        squeeze = rhs.ndim == 1
+        if squeeze:
+            rhs = rhs[:, None]
+        n_pad = side.W.shape[0] * side.W.shape[1]
+        x = _solve_side(side, _pad_rhs(rhs, self.n, n_pad), self.s)[: self.n]
+        return x[:, 0] if squeeze else x
+
+
+def factorize_distributed_banded(
+    band, n_parts: int, with_transpose: bool = True
+) -> DistributedBandedFactor:
+    """Partitioned-SPIKE factorization from (nb, s, 3s) band storage.
+
+    Pure traced computation (safe inside jit / Newton loops); use
+    ``place_on_mesh`` to pin an eagerly-built factor's partition axis to the
+    'fem' mesh axis."""
+    nb, s = band.shape[0], band.shape[1]
+    band_p, _ = _pad_band(band, n_parts)
+    fwd = _build_side(band_p, n_parts)
+    adj = None
+    if with_transpose:
+        a = band_p[:, :, :s]
+        d = band_p[:, :, s : 2 * s]
+        b = band_p[:, :, 2 * s :]
+        a_t, d_t, b_t = _transpose_band(a, d, b)
+        adj = _build_side(jnp.concatenate([a_t, d_t, b_t], axis=2), n_parts)
+    return DistributedBandedFactor(fwd, adj, nb * s, s)
+
+
+def place_on_mesh(factor, mesh: Mesh, axis: str = "fem"):
+    """Pin every per-partition leaf (leading axis = n_parts) to ``axis`` and
+    replicate the small reduced-system factors.  Returns a new pytree."""
+    n_parts = mesh.shape[axis]
+
+    def place(leaf):
+        if leaf is None:
+            return None
+        if jnp.ndim(leaf) >= 1 and leaf.shape[0] == n_parts:
+            spec = P(axis, *([None] * (jnp.ndim(leaf) - 1)))
+        else:
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, factor)

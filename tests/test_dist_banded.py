@@ -1,0 +1,191 @@
+"""Dof-axis ('fem') sharded banded operators vs unsharded references.
+
+The analog of `tests/test_parallel.py`'s sample-axis checks for the domain-
+decomposition axis (reference strategy #1, `comm_utils.py:19-40`): halo-
+exchange matvecs, partitioned-SPIKE solves, the dof-sharded structured
+prior, and a dof-sharded forward PDE solve must match their single-device
+counterparts.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import hippyflow_tpu as hf
+from hippyflow_tpu.ops.structured import (
+    block_tridiag_matmat,
+    factorize_block_cyclic_banded,
+)
+from hippyflow_tpu.parallel import (
+    dist_block_tridiag_matmat,
+    factorize_distributed_banded,
+    make_sample_fem_mesh,
+    place_on_mesh,
+)
+
+
+def _fem_mesh(n_fem=4):
+    devs = np.array(jax.devices()[:n_fem])
+    return Mesh(devs.reshape(n_fem), ("fem",))
+
+
+def _random_band(nb, s, seed=0):
+    rng = np.random.default_rng(seed)
+    band = rng.standard_normal((nb, s, 3 * s))
+    band[:, :, s : 2 * s] += 6.0 * np.eye(s)  # block-diagonal dominance
+    band[0, :, :s] = 0.0
+    band[-1, :, 2 * s :] = 0.0
+    return jnp.asarray(band)
+
+
+@pytest.mark.parametrize("nb,s,n_fem", [(16, 5, 4), (13, 4, 4), (9, 3, 2)])
+def test_dist_matmat_matches(nb, s, n_fem):
+    """Halo-exchange shard_map matvec == serial banded matvec (bitwise:
+    identical per-row arithmetic), including non-divisible nb (padding)."""
+    band = _random_band(nb, s)
+    X = jnp.asarray(np.random.default_rng(1).standard_normal((nb * s, 3)))
+    mesh = _fem_mesh(n_fem)
+    got = dist_block_tridiag_matmat(mesh, band, X)
+    np.testing.assert_array_equal(
+        np.asarray(got), np.asarray(block_tridiag_matmat(band, X))
+    )
+    # single-vector path
+    got1 = dist_block_tridiag_matmat(mesh, band, X[:, 0])
+    np.testing.assert_array_equal(
+        np.asarray(got1), np.asarray(block_tridiag_matmat(band, X[:, 0]))
+    )
+
+
+@pytest.mark.parametrize("nb,s,n_fem", [(16, 5, 4), (13, 4, 4)])
+def test_dist_solve_matches(nb, s, n_fem):
+    """Partitioned-SPIKE solve == global cyclic-reduction solve, forward and
+    adjoint, with per-partition leaves actually sharded on 'fem'."""
+    band = _random_band(nb, s)
+    X = jnp.asarray(np.random.default_rng(2).standard_normal((nb * s, 3)))
+    mesh = _fem_mesh(n_fem)
+    F_ref = factorize_block_cyclic_banded(band)
+    F = place_on_mesh(factorize_distributed_banded(band, n_fem), mesh)
+    sh = F.fwd.W.sharding
+    assert isinstance(sh, NamedSharding) and sh.spec[0] == "fem"
+    for trans in (False, True):
+        x_ref = np.asarray(F_ref.solve(X, trans=trans))
+        x = np.asarray(F.solve(X, trans=trans))
+        np.testing.assert_allclose(x, x_ref, rtol=1e-12, atol=1e-12)
+    # residual check against the operator itself
+    x = F.solve(X)
+    np.testing.assert_allclose(
+        np.asarray(block_tridiag_matmat(band, x)), np.asarray(X), atol=1e-10
+    )
+
+
+def test_dist_prior_matches_unsharded():
+    """StructuredBiLaplacianPrior on a ('sample','fem') mesh: sample,
+    Rsolver, R, M ops match the unsharded prior."""
+    from hippyflow_tpu.models.prior import StructuredBiLaplacianPrior
+
+    mesh2d = make_sample_fem_mesh(2, 4)
+    Vh = hf.FunctionSpace(hf.unit_square_mesh(24))
+    p_ref = StructuredBiLaplacianPrior(Vh, 0.1, 1.0, robin_bc=True)
+    p_dist = StructuredBiLaplacianPrior(
+        Vh, 0.1, 1.0, robin_bc=True, mesh=mesh2d, fem_axis="fem"
+    )
+    key = jax.random.PRNGKey(0)
+    noise = jax.random.normal(key, (3, Vh.dim))
+    m_ref = np.asarray(p_ref.sample(noise))
+    m_dist = np.asarray(p_dist.sample(noise))
+    np.testing.assert_allclose(m_dist, m_ref, rtol=1e-10, atol=1e-12)
+
+    X = jax.random.normal(jax.random.PRNGKey(1), (Vh.dim, 4))
+    for op in ("Rsolver_matmat", "R_matmat", "M_matmat", "Msolver_matmat"):
+        a = np.asarray(getattr(p_ref, op)(X))
+        b = np.asarray(getattr(p_dist, op)(X))
+        np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-11)
+
+
+@pytest.mark.parametrize("linear", [True, False])
+def test_forward_solve_dof_sharded(linear):
+    """One forward PDE solve with the operator dof-sharded over >=2 'fem'
+    devices matches the single-device block-cyclic solve (linear solve and
+    full Newton), plus matching incremental adjoint solves."""
+    from hippyflow_tpu.testing import (
+        make_poisson_varf,
+        poisson_control_settings,
+        setup_poisson_control_problem,
+    )
+
+    settings = poisson_control_settings()
+    settings["nx"] = settings["ny"] = 12
+    settings["LINEAR"] = linear
+    pde_ref, prior, control_dist, Vh = setup_poisson_control_problem(settings)
+    mesh = _fem_mesh(4)
+    pde_dist = hf.VariationalPDEProblem(
+        Vh,
+        Vh,
+        make_poisson_varf(settings),
+        pde_ref.bc,
+        is_fwd_linear=settings["LINEAR"],
+        control_dim=pde_ref.control_dim,
+        solver="dist_banded",
+        dist_mesh=mesh,
+        dist_axis="fem",
+    )
+    m = prior.sample(jax.random.normal(jax.random.PRNGKey(3), (Vh.dim,)))
+    z = control_dist.sample_n(jax.random.PRNGKey(4), 1)[0]
+    u_ref, info_ref = pde_ref.solve_fwd(m, z)
+    u, info = pde_dist.solve_fwd(m, z)
+    assert bool(info.converged)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), rtol=1e-9, atol=1e-10)
+
+    lin_ref = pde_ref.linearize(u_ref, m, z)
+    lin = pde_dist.linearize(u, m, z)
+    rhs = jax.random.normal(jax.random.PRNGKey(5), (Vh.dim, 3))
+    for adj in (False, True):
+        a = np.asarray(pde_ref.solve_incremental(lin_ref, rhs, is_adj=adj))
+        b = np.asarray(pde_dist.solve_incremental(lin, rhs, is_adj=adj))
+        np.testing.assert_allclose(b, a, rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.slow
+def test_large_mesh_dof_sharded():
+    """nx=192 (37k dofs): prior sample + Rsolver + one forward solve run
+    dof-sharded on 4 'fem' devices (VERDICT round-1 item 2 'done' bar)."""
+    from hippyflow_tpu.models.prior import StructuredBiLaplacianPrior
+    from hippyflow_tpu.testing import make_poisson_varf, poisson_control_settings
+
+    nx = 192
+    Vh = hf.FunctionSpace(hf.unit_square_mesh(nx))
+    mesh = _fem_mesh(4)
+    prior = StructuredBiLaplacianPrior(Vh, 0.1, 1.0, mesh=mesh, fem_axis="fem")
+    noise = jax.random.normal(jax.random.PRNGKey(0), (Vh.dim,))
+    m = prior.sample(noise)
+    assert np.isfinite(np.asarray(m)).all()
+    y = prior.Rsolver_matmat(m[:, None])
+    assert np.isfinite(np.asarray(y)).all()
+
+    settings = poisson_control_settings()
+    settings["nx"] = settings["ny"] = nx
+    from hippyflow_tpu.fem import DirichletBC
+
+    bc = DirichletBC.from_predicate(
+        Vh,
+        lambda x: (x[:, 1] < 1e-12) | (x[:, 1] > 1.0 - 1e-12),
+        lambda x: x[:, 1],
+    )
+    pde = hf.VariationalPDEProblem(
+        Vh,
+        Vh,
+        make_poisson_varf(settings),
+        bc,
+        is_fwd_linear=True,
+        control_dim=settings["N_WELLS_PER_SIDE"] ** 2,
+        solver="dist_banded",
+        dist_mesh=mesh,
+        dist_axis="fem",
+    )
+    z = jnp.zeros(settings["N_WELLS_PER_SIDE"] ** 2).at[12].set(1.0)
+    u, info = pde.solve_fwd(m, z)
+    assert bool(info.converged)
+    r = pde.residual_masked(u, m, z)
+    assert float(jnp.linalg.norm(r)) < 1e-8 * max(1.0, float(jnp.linalg.norm(u)))
