@@ -95,10 +95,22 @@ def main():
     if args.error_test:
         ranks = [r for r in (8, 16, 32, 64, 128) if r <= args.rank] or [args.rank]
         t0 = time.time()
+        # joint input/output test at the reference driver's rank pairs
+        # (`confusion_problem_setup.py:157-189`: rank_pairs = zip of the
+        # rank ladder with itself, capped by the observable dimension)
+        rank_pairs = [
+            (r, min(r, observable.dQ)) for r in ranks
+        ]
+        io_avg, io_std = POD.input_output_error_test(
+            as_dec, Cinv_matmat=prior.R_matmat, rank_pairs=rank_pairs
+        )
         error_data = {
             "as": AS.test_errors(ranks=ranks, test_input=True, test_output=True),
             "kle": KLE.test_errors(ranks=ranks),
             "pod": POD.test_output_errors(ranks=[r for r in ranks if r <= observable.dQ]),
+            "input_output": {
+                "rank_pairs": rank_pairs, "avg": io_avg, "std": io_std,
+            },
         }
         metadata["error_test_time"] = time.time() - t0
         with open(os.path.join(args.output, "error_data.pkl"), "wb") as f:

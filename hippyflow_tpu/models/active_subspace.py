@@ -78,6 +78,12 @@ def ActiveSubspaceParameterList() -> ParameterList:
             "ms_given": [False, "use externally supplied samples (unit tests)"],
             "chunk_size": [None, "sample-batch chunk size (None = auto)"],
             "seed": [0, "PRNG seed for sampling and probes"],
+            "reset_initial_guess": [
+                False,
+                "cold-start every Newton solve from zero instead of "
+                "warm-starting chunks on the previous chunk's states "
+                "(reference dataGenerator.py:31)",
+            ],
         }
     )
 
@@ -148,6 +154,7 @@ class ActiveSubspaceProjector:
             chunk_size=self.parameters["chunk_size"],
             verbose=self.parameters["verbose"],
             collective=self.collective,
+            reset_initial_guess=self.parameters["reset_initial_guess"],
         )
         if self.parameters["verbose"]:
             print(
@@ -385,44 +392,119 @@ class ActiveSubspaceProjector:
         return self.d_NG, output_decoder, output_encoder
 
     # -- Jacobian training data -----------------------------------------------
-    def construct_low_rank_Jacobians(self, output_directory="jacobian_data/"):
+    def construct_low_rank_Jacobians(
+        self, output_directory="jacobian_data/", check_for_data: bool = True
+    ):
         """Per-sample truncated SVDs J_i ~ U_i S_i V_i^T saved in the
         reference's Jsvd schema. With materialized Jacobians this is an exact
         batched SVD rather than the reference's per-sample randomized
         accuracyEnhancedSVD (`activeSubspaceProjector.py:816`) — strictly
-        more accurate at the same artifact format."""
+        more accurate at the same artifact format.
+
+        check_for_data resumes from per-chunk artifacts under
+        ``<output_directory>/chunks/`` (reference ``check_for_data`` scan,
+        `activeSubspaceProjector.py:939-976`)."""
+        return self._jacobian_data(output_directory, check_for_data, control=False)
+
+    def construct_low_rank_control_Jacobians(
+        self, output_directory="jacobian_data/", check_for_data: bool = True
+    ):
+        """Control-Jacobian (dq/dz) SVD data, the reference's
+        `construct_low_rank_control_Jacobians` (`activeSubspaceProjector.py:
+        676-682` dispatch): same schema with Uz/sigmaz/Vz keys."""
+        assert self.control_distribution is not None, (
+            "control Jacobians require a control distribution"
+        )
+        return self._jacobian_data(output_directory, check_for_data, control=True)
+
+    def _jacobian_data(self, output_directory, check_for_data, control: bool):
         t0 = time.time()
         self._ensure_samples()
-        if self.Js is None:
-            self.Js = materialize_jacobians(
-                self.observable,
-                self.samples.ms,
-                self.samples.us,
-                self.samples.zs,
-                chunk_size=self.parameters["chunk_size"],
-            )
-        rank = min(
-            self.parameters["jacobian_rank"], min(self.Js.shape[1], self.Js.shape[2])
+        s = self.samples
+        prefix = "z" if control else ""
+        rank_param = (
+            self.parameters["control_jacobian_rank"]
+            if control
+            else self.parameters["jacobian_rank"]
+        ) or self.parameters["jacobian_rank"]
+
+        chunk_dir = (
+            os.path.join(output_directory, f"chunks{prefix}")
+            if output_directory is not None
+            else None
         )
-        U, sig, Vt = jnp.linalg.svd(self.Js, full_matrices=False)
-        U, sig, V = U[:, :, :rank], sig[:, :rank], jnp.swapaxes(Vt, 1, 2)[:, :, :rank]
+        n = s.ms.shape[0]
+        chunk_size = self.parameters["chunk_size"] or n
+        done = {}
+        if chunk_dir is not None and check_for_data:
+            from .data_generator import DataGenerator
+
+            os.makedirs(chunk_dir, exist_ok=True)
+            for a, b, f in DataGenerator._scan_chunks(chunk_dir):
+                done[(a, b)] = f
+
+        Us, sigs, Vs = [], [], []
+        for a in range(0, n, chunk_size):
+            b = min(a + chunk_size, n)
+            if (a, b) in done:
+                with np.load(done[(a, b)]) as z:
+                    Us.append(jnp.asarray(z[f"U{prefix}_data"]))
+                    sigs.append(jnp.asarray(z[f"sigma{prefix}_data"]))
+                    Vs.append(jnp.asarray(z[f"V{prefix}_data"]))
+                continue
+            J = materialize_jacobians(
+                self.observable,
+                s.ms[a:b],
+                s.us[a:b],
+                s.zs[a:b] if s.zs is not None else None,
+                chunk_size=b - a,
+                control=control,
+            )
+            rank = min(rank_param, min(J.shape[1], J.shape[2]))
+            U, sig, Vt = jnp.linalg.svd(J, full_matrices=False)
+            U, sig, V = (
+                U[:, :, :rank],
+                sig[:, :rank],
+                jnp.swapaxes(Vt, 1, 2)[:, :, :rank],
+            )
+            if chunk_dir is not None:
+                np.savez(
+                    os.path.join(chunk_dir, f"chunk_{a}_{b}.npz"),
+                    **{
+                        f"U{prefix}_data": np.asarray(U),
+                        f"sigma{prefix}_data": np.asarray(sig),
+                        f"V{prefix}_data": np.asarray(V),
+                    },
+                )
+            Us.append(U)
+            sigs.append(sig)
+            Vs.append(V)
+        U = jnp.concatenate(Us)
+        sig = jnp.concatenate(sigs)
+        V = jnp.concatenate(Vs)
         self._jacobian_data_generation_time = time.time() - t0
         if output_directory is not None:
+            import shutil
+
             os.makedirs(output_directory, exist_ok=True)
             np.savez_compressed(
-                os.path.join(output_directory, "Jsvd_data.npz"),
-                U_data=np.asarray(U),
-                sigma_data=np.asarray(sig),
-                V_data=np.asarray(V),
+                os.path.join(output_directory, f"J{prefix}svd_data.npz"),
+                **{
+                    f"U{prefix}_data": np.asarray(U),
+                    f"sigma{prefix}_data": np.asarray(sig),
+                    f"V{prefix}_data": np.asarray(V),
+                },
             )
             np.save(
                 os.path.join(output_directory, "mq_m_data.npy"),
-                np.asarray(self.samples.ms),
+                np.asarray(s.ms),
             )
             np.save(
                 os.path.join(output_directory, "mq_q_data.npy"),
-                np.asarray(self.samples.qs),
+                np.asarray(s.qs),
             )
+            if chunk_dir is not None:
+                shutil.rmtree(chunk_dir, ignore_errors=True)
         return U, sig, V
 
     # -- projection error tests ------------------------------------------------
@@ -434,8 +516,12 @@ class ActiveSubspaceProjector:
 
         Input test: err = ||m - V_r V_r^T R m|| / ||m|| over prior samples
         (prior-preconditioned oblique projector, `PriorPreconditionedProjector`).
-        Output test: err = ||q - U_r U_r^T q|| / ||q|| over forward samples.
-        Returns dict rank -> (avg_rel_err, std_rel_err).
+        Output test: err = ||q - U_r U_r^T q|| / ||q|| over FRESH forward
+        solves; samples whose Newton solve fails are discarded and the MC
+        estimate rescaled by the surviving count, the reference's
+        discarded-sample correction (`activeSubspaceProjector.py:1217-1228`).
+        Returns dict rank -> (avg_rel_err, std_rel_err); the output entries
+        also record the discard count under ('output_discarded', None).
         """
         n = n_samples or self.parameters["error_test_samples"]
         out = {}
@@ -456,8 +542,31 @@ class ActiveSubspaceProjector:
                 out[("input", r)] = (float(errs.mean()), float(errs.std()))
         if test_output:
             assert self.U_NG is not None, "construct_output_subspace first"
-            self._ensure_samples()
-            Q = self.samples.qs[:n]
+            # fresh forward solves (the reference re-solves inside its output
+            # error test rather than reusing training samples, :1130 ff.)
+            noise = self.keychain.normal(
+                (n, self.prior.noise_dim), dtype=self.prior.mean.dtype
+            )
+            ms = self.prior.sample(noise)
+            zs = None
+            if self.control_distribution is not None:
+                zs = self.control_distribution.sample_n(
+                    self.keychain.next_key(), n
+                )
+            problem = self.observable.problem
+
+            def one(m, z):
+                u, info = problem.solve_fwd(m, z=z)
+                return self.observable.evalu(u), info.converged
+
+            in_axes = (0, 0 if zs is not None else None)
+            qs, ok = jax.jit(jax.vmap(one, in_axes=in_axes))(ms, zs)
+            ok = np.asarray(ok)
+            n_valid = int(ok.sum())
+            out[("output_discarded", None)] = n - n_valid
+            # discard failed lanes; MC averages below run over the survivors
+            # only — the rescaling-by-discard-count correction
+            Q = jnp.asarray(np.asarray(qs)[ok])
             for r in ranks:
                 U = self.U_NG[:, :r]
                 P = (U @ (U.T @ Q.T)).T

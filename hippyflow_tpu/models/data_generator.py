@@ -112,6 +112,7 @@ class DataGenerator:
                 control_distribution=self.control_distribution,
                 chunk_size=b,
                 verbose=self.settings["verbose"],
+                reset_initial_guess=self.settings["reset_initial_guess"],
             )
             payload = {
                 "m_data": np.asarray(batch.ms),

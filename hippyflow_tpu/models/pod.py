@@ -138,7 +138,14 @@ class PODProjector:
         self, output_directory="data/", n_data: int | None = None, check_for_data=True
     ):
         """Sample (m_i, q_i) pairs and store them in the reference's npz
-        schema, resumable via artifact scan (`PODProjector.py:118-222`)."""
+        schema, resumable chunk-by-chunk (`PODProjector.py:118-222`).
+
+        Resume granularity matches the reference's per-sample .npy scan
+        (`PODProjector.py:147-186`): finished chunks persist under
+        ``<output_directory>/chunks_pod/`` and a killed run restarts at the
+        first missing chunk, not from zero."""
+        from .data_generator import DataGenerator
+
         t0 = time.time()
         os.makedirs(output_directory, exist_ok=True)
         n = n_data or self.parameters["data_per_process"]
@@ -149,15 +156,53 @@ class PODProjector:
                 if self.parameters["verbose"]:
                     print("training data already generated, skipping")
                 return existing["m_data"], existing["q_data"]
-        self._ensure_samples(n)
-        m_data = np.asarray(self.samples.ms[:n])
-        q_data = np.asarray(self.samples.qs[:n])
-        payload = {"m_data": m_data, "q_data": q_data}
-        if self.samples.zs is not None:
-            payload["z_data"] = np.asarray(self.samples.zs[:n])
-        np.savez_compressed(out_path, **payload)
+
+        chunk_dir = os.path.join(output_directory, "chunks_pod")
+        os.makedirs(chunk_dir, exist_ok=True)
+        from .sampling import auto_chunk_size
+
+        chunk_size = self.parameters["chunk_size"] or auto_chunk_size(
+            self.observable.problem.state_dim,
+            self.prior.mean.dtype,
+            problem=self.observable.problem,
+        )
+        done = DataGenerator._scan_chunks(chunk_dir) if check_for_data else []
+        i = done[-1][1] if done else 0
+        if i > 0 and self.parameters["verbose"]:
+            print(f"resuming training-data generation at sample {i}")
+        while i < n:
+            b = min(chunk_size, n - i)
+            batch = sample_until_solved(
+                self.observable,
+                self.prior,
+                self.keychain,
+                b,
+                control_distribution=self.control_distribution,
+                chunk_size=b,
+                verbose=self.parameters["verbose"],
+                collective=self.collective,
+            )
+            payload = {
+                "m_data": np.asarray(batch.ms),
+                "q_data": np.asarray(batch.qs),
+            }
+            if batch.zs is not None:
+                payload["z_data"] = np.asarray(batch.zs)
+            np.savez(os.path.join(chunk_dir, f"chunk_{i}_{i + b}.npz"), **payload)
+            i += b
+
+        arrays: dict[str, list] = {}
+        for _, _, f in DataGenerator._scan_chunks(chunk_dir):
+            with np.load(f) as z:
+                for k in z.files:
+                    arrays.setdefault(k, []).append(z[k])
+        cat = {k: np.concatenate(v)[:n] for k, v in arrays.items()}
+        np.savez_compressed(out_path, **cat)
+        import shutil
+
+        shutil.rmtree(chunk_dir, ignore_errors=True)
         self._data_generation_time = time.time() - t0
-        return m_data, q_data
+        return cat["m_data"], cat["q_data"]
 
     def save_mass_and_stiffness_matrices(self, output_directory=None):
         """Save the state-space mass and stiffness matrices as scipy CSR npz
