@@ -13,16 +13,19 @@ with homogeneous Dirichlet BCs, 100 pointwise observations on a grid in
 
 Velocity field: the reference solves steady Navier-Stokes at Re=100 in a
 cavity driven up the left wall and down the right wall
-(`confusion_linear_observable.py:51-82`).  Two options here:
+(`confusion_linear_observable.py:51-82`).  Three options here:
 
-* velocity='navier_stokes' — solve the same steady NS problem with the
-  framework's stabilized P1 solver (applications/navier_stokes.py): parity
-  with the reference at a one-time setup cost;
-* velocity='analytic' (default) — the divergence-free single-cell
+* velocity='navier_stokes' (default, reference parity) — solve the same
+  steady NS problem with the framework's stabilized P1 solver
+  (applications/navier_stokes.py) at a one-time setup cost;
+* velocity='analytic' — the divergence-free single-cell
   stream-function vortex psi = -(1/pi) sin(pi x) sin(pi y),
   v = (-sin(pi x) cos(pi y), cos(pi x) sin(pi y)), which matches the
   driven-cavity circulation direction and wall tangency (v.n = 0 on all
-  walls; +y at x=0, -y at x=1) without the setup solve.
+  walls; +y at x=0, -y at x=1) without the setup solve;
+* velocity=<(n, 2) array> — precomputed dof values (e.g. an NS solve
+  cached across benchmark workers so every process sees bitwise-identical
+  coefficients).
 """
 
 from __future__ import annotations
@@ -45,12 +48,17 @@ from hippyflow_tpu.models import (
 )
 
 
-def confusion_velocity(V: FunctionSpace, kind: str = "analytic") -> np.ndarray:
+def confusion_velocity(V: FunctionSpace, kind="navier_stokes") -> np.ndarray:
     """(n, 2) P1 dof values of the cavity-circulation velocity field.
 
     kind='navier_stokes': solve the reference's steady NS problem at Re=100
     (`confusion_linear_observable.py:51-82`) — exact parity, one-time setup
-    cost. kind='analytic': the stream-function vortex described above."""
+    cost. kind='analytic': the stream-function vortex described above.
+    kind=<array>: precomputed dof values, used verbatim."""
+    if not isinstance(kind, str):
+        vel = np.asarray(kind)
+        assert vel.shape == (V.dim, 2), f"velocity array shape {vel.shape}"
+        return vel
     if kind == "navier_stokes":
         from applications.navier_stokes import steady_navier_stokes
 
@@ -72,7 +80,7 @@ def confusion_source(V: FunctionSpace) -> np.ndarray:
 
 
 def confusion_form(
-    V: FunctionSpace, c: float = 1.0, k: float = 0.01, velocity: str = "analytic"
+    V: FunctionSpace, c: float = 1.0, k: float = 0.01, velocity="navier_stokes"
 ) -> GalerkinForm:
     vel = confusion_velocity(V, kind=velocity)
     f = confusion_source(V)
@@ -103,12 +111,16 @@ def confusion_linear_observable(
     c: float = 1.0,
     k: float = 0.01,
     newton_max_iter: int = 25,
-    velocity: str = "analytic",
+    velocity="navier_stokes",
+    n_line_search: int = 4,
+    **pde_kwargs,
 ):
     """Build the confusion observable (reference
     `confusion_linear_observable.py:27-150`). Returns (observable, Vh).
 
-    velocity='navier_stokes' reproduces the reference's NS-computed field."""
+    velocity='navier_stokes' reproduces the reference's NS-computed field.
+    Extra kwargs (solver, newton_stale_factor, n_line_search, ...) pass
+    through to VariationalPDEProblem."""
     mesh = unit_square_mesh(nx)
     Vh = FunctionSpace(mesh)
     bc = DirichletBC.from_predicate(Vh, None, 0.0)
@@ -119,6 +131,12 @@ def confusion_linear_observable(
         bc,
         is_fwd_linear=False,
         newton_max_iter=newton_max_iter,
+        # measured on-chip (benchmarks/probe_newton_variants.py): a 4-step
+        # backtracking ladder minimizes wall time (8 wastes residual evals,
+        # <=3 raises the worst-lane iteration count that the vmapped
+        # while_loop pays for)
+        n_line_search=n_line_search,
+        **pde_kwargs,
     )
     targets = grid_targets(0.6, 0.8, sqrt_n_obs)
     B = PointwiseObservation(Vh, targets)

@@ -20,8 +20,10 @@ problem's ``rhs_vector``.  The observable reads BOTH components at a target
 grid near the source, matching hp.assemblePointwiseObservation on the vector
 space (`helmholtz_linear_observable.py:92`).
 
-State discretization note: the reference uses P2 for the state; this port is
-P1 (the framework's current element) at correspondingly finer meshes.
+State discretization note: the state defaults to P2 Lagrange elements
+(``state_degree=2``), matching the reference's VectorFunctionSpace of
+degree 2 (`helmholtz_linear_observable.py:40`); pass ``state_degree=1`` for
+a cheaper P1 state on correspondingly finer meshes.
 """
 
 from __future__ import annotations

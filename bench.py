@@ -2,14 +2,16 @@
 
 Config (BASELINE.md north-star): active subspace r=100 (oversampling 10)
 from N=1024 prior samples of the confusion advection-reaction-diffusion map
-on a 64x64 mesh (4225 dofs, 100 pointwise observations), plus saving the
-(m, q) training dataset. The reference executes this as 8 MPI ranks x 128
-serial samples with sparse-LU incremental solves per probe column
-(SURVEY.md section 3.1).
+on a 64x64 mesh (4225 dofs, 100 pointwise observations, steady-NS Re=100
+velocity field — the reference's configuration,
+`confusion_linear_observable.py:51-82`), plus saving the (m, q) training
+dataset. The reference executes this as 8 MPI ranks x 128 serial samples
+with sparse-LU incremental solves per probe column (SURVEY.md section 3.1).
 
 This script:
-  * runs the TPU pipeline on the default jax backend (the real chip under
-    the driver) and times the full sample->jacobian->GHEP->save path;
+  * computes the steady-NS velocity once (CPU f64 subprocess) and shares the
+    cached field across every worker so all stages see bitwise-identical
+    coefficients;
   * obtains the CPU reference time from `.bench/baseline.json`, measuring it
     once if absent: a faithful scipy/superLU re-implementation of the
     reference's algorithm (serial per-sample Newton + splu, per-column
@@ -17,10 +19,21 @@ This script:
     a reduced sample count and extrapolated linearly in N (the loop is
     embarrassingly per-sample), then divided by 8 for the 8-rank MPI
     reference configuration (perfect-scaling assumption, i.e. generous to
-    the baseline);
+    the baseline).  The worker also records its doublePassG spectrum and
+    the exact noise/probe it used;
+  * runs an f64 CPU parity check: the library pipeline on the SAME samples
+    and probe, reporting max relative eigenvalue error vs the
+    reference-algorithm spectrum (BASELINE.json north-star: <= 1e-8);
+  * runs the TPU pipeline on the default jax backend (the real chip under
+    the driver) and times the full sample->jacobian->GHEP->save path,
+    reporting both the warm steady-state time (the headline, comparable to
+    the reference's timers which exclude FFC form compilation) and the
+    first-run time including XLA compilation;
+  * optionally (BENCH_NX192=1, default on) times a reduced nx=192 (37k dof)
+    configuration exercising the banded large-mesh path;
   * prints exactly one JSON line:
       {"metric": ..., "value": <tpu seconds>, "unit": "s",
-       "vs_baseline": <baseline_8rank_seconds / tpu_seconds>}
+       "vs_baseline": <baseline_8rank_seconds / tpu_seconds>, "extra": {...}}
     vs_baseline > 1 means faster than the reference (target: >= 20).
 """
 
@@ -36,7 +49,10 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-BASELINE_CACHE = os.path.join(REPO, ".bench", "baseline.json")
+BENCH_DIR = os.path.join(REPO, ".bench")
+BASELINE_CACHE = os.path.join(BENCH_DIR, "baseline_v2.json")
+PARITY_DATA = os.path.join(BENCH_DIR, "parity_ref.npz")
+PARITY_CACHE = os.path.join(BENCH_DIR, "parity_result.json")
 
 NX = int(os.environ.get("BENCH_NX", 64))
 N_SAMPLES = int(os.environ.get("BENCH_SAMPLES", 1024))
@@ -44,10 +60,86 @@ RANK = int(os.environ.get("BENCH_RANK", 100))
 OVERSAMPLING = 10
 BASELINE_SAMPLES = int(os.environ.get("BENCH_BASELINE_SAMPLES", 16))
 MPI_RANKS = 8
+NX192 = os.environ.get("BENCH_NX192", "1") == "1"
+NX192_NX = 192
+NX192_SAMPLES = int(os.environ.get("BENCH_NX192_SAMPLES", 64))
+NX192_RANK = int(os.environ.get("BENCH_NX192_RANK", 32))
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _subprocess_cpu(args, timeout=7200):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)] + args,
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=timeout,
+        env=env,
+    )
+    log(out.stderr[-3000:])
+    if out.returncode != 0:
+        raise RuntimeError(f"worker {args} failed rc={out.returncode}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+# ---------------------------------------------------------------------------
+# Shared NS velocity field
+# ---------------------------------------------------------------------------
+
+
+def ns_velocity_path(nx: int) -> str:
+    return os.path.join(BENCH_DIR, f"ns_velocity_nx{nx}.npy")
+
+
+def get_ns_velocity(nx: int):
+    import numpy as np
+
+    path = ns_velocity_path(nx)
+    if not os.path.exists(path):
+        log(f"solving steady NS velocity at nx={nx} (one-time, CPU f64) ...")
+        _subprocess_cpu(["--ns-worker", str(nx)])
+    return np.load(path)
+
+
+def run_ns_worker(nx: int):
+    """Steady-NS velocity at nx (CPU f64).  Beyond nx=96 the dense vector
+    NS solve is out of reach (3*nx^2 dofs dense LU); the smooth Re=100
+    velocity is solved at nx=64 and P1-prolongated to the fine nested grid
+    (64 | 192: coarse vertices are a subset) — the coefficient stays fixed
+    across workers, which is what eigenvalue parity needs."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+
+    import hippyflow_tpu as hf
+    from applications.confusion import confusion_velocity
+
+    t0 = time.time()
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    if nx > 96:
+        coarse = 64
+        if not os.path.exists(ns_velocity_path(coarse)):
+            run_ns_worker(coarse)
+        v_c = np.load(ns_velocity_path(coarse))
+        Vc = hf.FunctionSpace(hf.unit_square_mesh(coarse))
+        Vf = hf.FunctionSpace(hf.unit_square_mesh(nx))
+        from scipy.interpolate import LinearNDInterpolator
+
+        interp = LinearNDInterpolator(np.asarray(Vc.dof_coords), v_c)
+        vel = np.asarray(interp(np.asarray(Vf.dof_coords)))
+        assert np.isfinite(vel).all()
+    else:
+        Vh = hf.FunctionSpace(hf.unit_square_mesh(nx))
+        vel = confusion_velocity(Vh, kind="navier_stokes")
+    np.save(ns_velocity_path(nx), np.asarray(vel, dtype=np.float64))
+    return {"seconds": time.time() - t0}
 
 
 # ---------------------------------------------------------------------------
@@ -55,14 +147,15 @@ def log(*a):
 # ---------------------------------------------------------------------------
 
 
-def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str):
+def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str,
+                     velocity=None, save_data: bool = True):
     import jax
 
     # persistent compilation cache: compiles over the TPU tunnel cost
     # minutes and vary wildly; cache them across bench invocations
     try:
         jax.config.update(
-            "jax_compilation_cache_dir", os.path.join(REPO, ".bench", "jax_cache")
+            "jax_compilation_cache_dir", os.path.join(BENCH_DIR, "jax_cache")
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
@@ -73,7 +166,6 @@ def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str):
     # TPU f32 matmuls default to bf16 passes; the Newton/LU/adjoint pipeline
     # needs true f32 accumulation to converge to its tolerance.
     jax.config.update("jax_default_matmul_precision", "highest")
-    import jax.numpy as jnp
 
     from applications.confusion import confusion_linear_observable, confusion_prior
     from hippyflow_tpu.models import (
@@ -82,22 +174,21 @@ def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str):
     )
 
     log(f"devices: {jax.devices()}")
-    obs, Vh = confusion_linear_observable(nx=nx)
+    vel = get_ns_velocity(nx) if velocity is None else velocity
+    obs, Vh = confusion_linear_observable(nx=nx, velocity=vel)
     prior = confusion_prior(Vh)
     params = ActiveSubspaceParameterList()
     params["rank"] = rank
     params["oversampling"] = OVERSAMPLING
     params["samples_per_process"] = n_samples
     params["verbose"] = True
-    proj = ActiveSubspaceProjector(obs, prior, parameters=params)
 
     # Warm-up: one full pipeline pass at identical shapes compiles every
     # program (batched Newton, Jacobian materialization, GHEP); the timed
     # second pass measures steady-state execution. (The reference's timers
     # likewise exclude code generation: FFC forms are compiled and cached
-    # before its timed sections.)
-    # chunk size: 0/unset -> auto (library picks from the factorization
-    # memory footprint; the banded block-tridiag path allows large chunks)
+    # before its timed sections.)  First-run time-to-solution (warm-up pass
+    # included, i.e. compile + execute) is reported alongside.
     chunk = int(os.environ.get("BENCH_CHUNK", 0)) or None
     if chunk is not None:
         chunk = min(chunk, n_samples)
@@ -106,24 +197,27 @@ def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str):
     t0 = time.time()
     warm = ActiveSubspaceProjector(obs, prior, parameters=params)
     warm.construct_input_subspace(prior_preconditioned=True)
-    log(f"warmup pass done in {time.time() - t0:.1f}s")
+    first_run = time.time() - t0
+    log(f"warmup pass done in {first_run:.1f}s")
 
+    proj = ActiveSubspaceProjector(obs, prior, parameters=params)
     t_start = time.time()
     d, dec, enc = proj.construct_input_subspace(prior_preconditioned=True)
-    # dataset artifact (the "1024-sample dataset" part of the target)
-    os.makedirs(os.path.join(REPO, ".bench"), exist_ok=True)
     import numpy as np
 
-    np.savez(
-        os.path.join(REPO, ".bench", "confusion_mq_data.npz"),
-        m_data=np.asarray(proj.samples.ms),
-        q_data=np.asarray(proj.samples.qs),
-    )
-    np.save(os.path.join(REPO, ".bench", "AS_input_decoder.npy"), np.asarray(dec))
+    if save_data:
+        # dataset artifact (the "1024-sample dataset" part of the target)
+        os.makedirs(BENCH_DIR, exist_ok=True)
+        np.savez(
+            os.path.join(BENCH_DIR, "confusion_mq_data.npz"),
+            m_data=np.asarray(proj.samples.ms),
+            q_data=np.asarray(proj.samples.qs),
+        )
+        np.save(os.path.join(BENCH_DIR, "AS_input_decoder.npy"), np.asarray(dec))
     jax.block_until_ready(d)
     elapsed = time.time() - t_start
-    log(f"TPU pipeline: {elapsed:.2f}s  d[:5]={np.asarray(d[:5])}")
-    return elapsed, np.asarray(d)
+    log(f"TPU pipeline nx={nx}: {elapsed:.2f}s  d[:5]={np.asarray(d[:5])}")
+    return elapsed, first_run, np.asarray(d)
 
 
 # ---------------------------------------------------------------------------
@@ -131,11 +225,12 @@ def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str):
 # ---------------------------------------------------------------------------
 
 
-def run_baseline_worker(nx: int, n_samples: int, rank: int) -> float:
+def run_baseline_worker(nx: int, n_samples: int, rank: int) -> dict:
     """Reference-style execution: serial sample loop, scipy superLU
     factorizations, per-probe-column incremental solves. Assembly uses the
     jitted CPU kernels (at least as fast as the reference's C++ assembly,
-    i.e. generous to the baseline)."""
+    i.e. generous to the baseline).  Saves the noise/probe/spectrum for the
+    eigenvalue-parity check."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -147,7 +242,8 @@ def run_baseline_worker(nx: int, n_samples: int, rank: int) -> float:
 
     from applications.confusion import confusion_linear_observable, confusion_prior
 
-    obs, Vh = confusion_linear_observable(nx=nx)
+    vel = np.load(ns_velocity_path(nx))
+    obs, Vh = confusion_linear_observable(nx=nx, velocity=vel)
     prior = confusion_prior(Vh)
     problem = obs.problem
     n = Vh.dim
@@ -179,9 +275,11 @@ def run_baseline_worker(nx: int, n_samples: int, rank: int) -> float:
     K_lu = spla.splu(sp.csc_matrix(K_sp))
     factors = []
     Cs = []
+    xis = []
     for i in range(n_samples):
         # prior sample: m = mean + K^{-1} (L_M xi)   [2 sparse solves worth]
         xi = rng.randn(n)
+        xis.append(xi)
         m = np.asarray(prior.mean) + K_lu.solve(L_M @ xi)
         m_j = jnp.asarray(m)
         # serial Newton with sparse LU per iteration
@@ -247,27 +345,86 @@ def run_baseline_worker(nx: int, n_samples: int, rank: int) -> float:
     Q = np.linalg.solve(Lg, Q.T).T
     AQ = avg_JTJ(Q)
     T = Q.T @ AQ
-    np.linalg.eigh(0.5 * (T + T.T))
+    d_full = np.linalg.eigvalsh(0.5 * (T + T.T))[::-1]  # descending
     elapsed = time.time() - t0
     log(f"baseline ({n_samples} samples, serial 1-core): {elapsed:.2f}s")
-    return elapsed
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    np.savez(
+        PARITY_DATA,
+        xi=np.stack(xis),
+        Omega=Omega,
+        d_ref=d_full[:rank],
+        nx=nx,
+        rank=rank,
+    )
+    return {"seconds": elapsed}
 
 
-def get_baseline_seconds() -> dict:
+# ---------------------------------------------------------------------------
+# Eigenvalue parity (f64, CPU): library pipeline on the baseline's samples
+# ---------------------------------------------------------------------------
+
+
+def run_parity_worker() -> dict:
+    """Run the library's batched AS pipeline in f64 on the SAME prior noise
+    and probe block the baseline worker used, and compare spectra.
+
+    Parity closes the BASELINE.json north-star loop: the eigenvalues the TPU
+    algorithm produces match the reference doublePassG algorithm to <= 1e-8
+    relative error (`hippyflow/test/test_derivativeSubspace.py:102`)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from applications.confusion import confusion_linear_observable, confusion_prior
+    from hippyflow_tpu.models import (
+        ActiveSubspaceParameterList,
+        ActiveSubspaceProjector,
+    )
+
+    data = np.load(PARITY_DATA)
+    nx, rank = int(data["nx"]), int(data["rank"])
+    vel = np.load(ns_velocity_path(nx))
+    obs, Vh = confusion_linear_observable(nx=nx, velocity=vel)
+    prior = confusion_prior(Vh)
+    params = ActiveSubspaceParameterList()
+    params["rank"] = rank
+    params["oversampling"] = OVERSAMPLING
+    params["samples_per_process"] = data["xi"].shape[0]
+    params["ms_given"] = True
+    params["verbose"] = False
+    proj = ActiveSubspaceProjector(obs, prior, parameters=params)
+    proj.ms = prior.sample(jnp.asarray(data["xi"]))
+    proj.Omega_GN = jnp.asarray(data["Omega"])
+    d, _, _ = proj.construct_input_subspace(prior_preconditioned=True)
+    d = np.asarray(d)[:rank]
+    d_ref = np.asarray(data["d_ref"])[:rank]
+    # relative error per eigenvalue over the numerically resolved part of
+    # the spectrum (randomized estimates of eigenvalues below ~1e-12 of
+    # lambda_0 are noise in BOTH algorithms)
+    lam0 = abs(d_ref[0])
+    resolved = np.abs(d_ref) > 1e-12 * lam0
+    rel = np.abs(d - d_ref)[resolved] / np.abs(d_ref)[resolved]
+    out = {
+        "rel_eig_err": float(rel.max()),
+        "n_resolved": int(resolved.sum()),
+        "rank": rank,
+        "lam0": float(lam0),
+    }
+    log(f"parity: {out}")
+    return out
+
+
+def get_baseline() -> dict:
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             return json.load(f)
+    get_ns_velocity(NX)
     log(f"measuring CPU baseline at {BASELINE_SAMPLES} samples (one-time) ...")
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--baseline-worker"],
-        capture_output=True,
-        text=True,
-        cwd=REPO,
-        timeout=7200,
-    )
-    log(out.stderr[-2000:])
-    line = out.stdout.strip().splitlines()[-1]
-    measured = json.loads(line)
+    measured = _subprocess_cpu(["--baseline-worker"])
     per_sample_scalable = measured["seconds"] / BASELINE_SAMPLES
     full = per_sample_scalable * N_SAMPLES
     info = {
@@ -278,27 +435,78 @@ def get_baseline_seconds() -> dict:
         "nx": NX,
         "rank": RANK,
         "n_samples": N_SAMPLES,
+        "velocity": "navier_stokes",
     }
-    os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
+    os.makedirs(BENCH_DIR, exist_ok=True)
     with open(BASELINE_CACHE, "w") as f:
         json.dump(info, f, indent=1)
     return info
 
 
+def get_parity() -> dict:
+    if os.path.exists(PARITY_CACHE):
+        with open(PARITY_CACHE) as f:
+            return json.load(f)
+    assert os.path.exists(PARITY_DATA), "run the baseline worker first"
+    log("running f64 eigenvalue-parity check (one-time, CPU) ...")
+    out = _subprocess_cpu(["--parity-worker"])
+    with open(PARITY_CACHE, "w") as f:
+        json.dump(out, f, indent=1)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--baseline-worker", action="store_true")
+    ap.add_argument("--parity-worker", action="store_true")
+    ap.add_argument("--ns-worker", type=int, default=None)
     ap.add_argument("--dtype", default=os.environ.get("BENCH_DTYPE", "float32"))
     args = ap.parse_args()
 
+    if args.ns_worker is not None:
+        print(json.dumps(run_ns_worker(args.ns_worker)))
+        return
     if args.baseline_worker:
-        secs = run_baseline_worker(NX, BASELINE_SAMPLES, RANK)
-        print(json.dumps({"seconds": secs}))
+        print(json.dumps(run_baseline_worker(NX, BASELINE_SAMPLES, RANK)))
+        return
+    if args.parity_worker:
+        print(json.dumps(run_parity_worker()))
         return
 
-    baseline = get_baseline_seconds()
+    baseline = get_baseline()
     log(f"baseline(8-rank-equivalent): {baseline['seconds_8rank']:.1f}s")
-    elapsed, d = run_tpu_pipeline(NX, N_SAMPLES, RANK, args.dtype)
+    parity = {}
+    try:
+        parity = get_parity()
+    except Exception as e:  # parity is reported, never fatal to the metric
+        log(f"parity check failed: {e}")
+        parity = {"rel_eig_err": None, "error": str(e)}
+
+    vel = get_ns_velocity(NX)
+    elapsed, first_run, d = run_tpu_pipeline(NX, N_SAMPLES, RANK, args.dtype,
+                                             velocity=vel)
+
+    extra = {
+        "rel_eig_err_f64": parity.get("rel_eig_err"),
+        "first_run_s": round(first_run, 2),
+        "velocity": "navier_stokes",
+        "baseline_8rank_s": round(baseline["seconds_8rank"], 1),
+    }
+    if NX192:
+        try:
+            t192, first192, _ = run_tpu_pipeline(
+                NX192_NX, NX192_SAMPLES, NX192_RANK, args.dtype,
+                save_data=False,
+            )
+            extra["nx192_time_s"] = round(t192, 2)
+            extra["nx192_first_run_s"] = round(first192, 2)
+            extra["nx192_config"] = (
+                f"r{NX192_RANK}_{NX192_SAMPLES}samples_{NX192_NX}x{NX192_NX}"
+            )
+        except Exception as e:
+            log(f"nx192 run failed: {e}")
+            extra["nx192_error"] = str(e)[:200]
+
     print(
         json.dumps(
             {
@@ -306,6 +514,7 @@ def main():
                 "value": round(elapsed, 3),
                 "unit": "s",
                 "vs_baseline": round(baseline["seconds_8rank"] / elapsed, 2),
+                "extra": extra,
             }
         )
     )
