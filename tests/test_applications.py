@@ -39,6 +39,7 @@ class TestConfusion:
         # div v = d/dx(-sin(pi x)cos(pi y)) + d/dy(cos(pi x) sin(pi y))
         #       = -pi cos cos + pi cos cos = 0 (exact)
 
+    @pytest.mark.slow
     def test_forward_solve_and_jacobian(self, setup):
         obs, Vh, prior = setup
         m = prior.sample_n(jax.random.PRNGKey(0), 1)[0]
@@ -69,6 +70,7 @@ class TestHelmholtz:
         prior = helmholtz_prior(Vh)
         return obs, Vh, prior
 
+    @pytest.mark.slow
     def test_pml_attenuation(self, setup):
         obs, Vh, prior = setup
         m = jnp.zeros(obs.dM)
@@ -81,6 +83,7 @@ class TestHelmholtz:
         inner = (np.abs(x[:, 0] - 0.8) < 0.3) & (np.abs(x[:, 1] - 2.8) < 0.3)
         assert np.abs(u1[outer]).max() < 0.05 * np.abs(u1[inner]).max()
 
+    @pytest.mark.slow
     def test_jacobian_consistency(self, setup):
         obs, Vh, prior = setup
         m = prior.sample_n(jax.random.PRNGKey(0), 1)[0]
@@ -97,6 +100,7 @@ class TestHelmholtz:
             np.asarray(Jd @ dm), np.asarray(an), rtol=1e-9, atol=1e-12
         )
 
+    @pytest.mark.slow
     def test_active_subspace_runs(self, setup):
         obs, Vh, prior = setup
         from hippyflow_tpu.models import (

@@ -44,6 +44,7 @@ def _generator(obs, prior, control_dist, rM=6, rZ=6):
     )
 
 
+@pytest.mark.slow
 def test_generate_with_decoders(setup, tmp_path):
     pde, prior, control_dist, Vh = setup
     obs = poisson_pointwise_observable(pde, Vh, n_obs=10)
@@ -155,6 +156,7 @@ def test_resume(setup, tmp_path):
     assert n_chunks_before == 2
 
 
+@pytest.mark.slow
 def test_failed_solve_archival(tmp_path):
     """Nonconverged samples are resampled and their parameters archived to
     skipped/ (reference `dataGenerator.py:232-241`)."""

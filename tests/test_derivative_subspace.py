@@ -70,6 +70,7 @@ def test_batched_vs_serialized_input_subspace(problem):
     assert float(orth) < 1e-8
 
 
+@pytest.mark.slow
 def test_batched_vs_serialized_output_subspace(problem):
     pde, prior, control_dist, Vh, ms, zs = problem
     obs = poisson_pointwise_observable(pde, Vh, n_obs=15)
@@ -87,6 +88,7 @@ def test_batched_vs_serialized_output_subspace(problem):
     assert float(jnp.abs(dec_a.T @ dec_a - jnp.eye(d_a.shape[0])).max()) < 1e-10
 
 
+@pytest.mark.slow
 def test_full_state_observable_consistency(problem):
     """Full-state B (mass-matrix transpose) — `test_fullStateOperator.py`."""
     pde, prior, control_dist, Vh, ms, zs = problem
@@ -136,6 +138,7 @@ def test_gn_eigenvalues_match_dense_reference(problem):
     assert rel.max() < 1e-8
 
 
+@pytest.mark.slow
 def test_error_decay_and_jacobian_data(problem, tmp_path):
     pde, prior, control_dist, Vh, ms, zs = problem
     obs = poisson_pointwise_observable(pde, Vh, n_obs=15)
@@ -154,6 +157,7 @@ def test_error_decay_and_jacobian_data(problem, tmp_path):
     assert os.path.exists(tmp_path / "Jsvd_data.npz")
 
 
+@pytest.mark.slow
 def test_eigenvalue_parity_vs_dense_reference(problem):
     """BASELINE.json accuracy criterion: the randomized GHEP machinery
     reproduces a dense generalized eigensolve of the materialized E[J^T J]

@@ -59,6 +59,7 @@ def test_pointwise_observation_exact_on_linears(V16):
     assert np.abs(B @ f - expected).max() < 1e-12
 
 
+@pytest.mark.slow
 def test_poisson_manufactured_solution():
     # -div(e^m grad u) = f with m = 0, u* = x(1-x)y(1-y)
     mesh = unit_square_mesh(32)
@@ -95,6 +96,7 @@ def test_inhomogeneous_dirichlet():
     assert np.abs(np.asarray(u) - u_exact).max() < 1e-11
 
 
+@pytest.mark.slow
 def test_newton_matches_linear_on_linear_problem():
     # Newton on an affine residual must converge in one step to the linear solve
     mesh = unit_square_mesh(8)
@@ -117,6 +119,7 @@ def test_newton_matches_linear_on_linear_problem():
     assert float(jnp.abs(u1 - u2).max()) < 1e-10
 
 
+@pytest.mark.slow
 def test_newton_nonlinear_reaction():
     mesh = unit_square_mesh(12)
     V = FunctionSpace(mesh)
@@ -193,6 +196,7 @@ def test_vector_to_function_and_operator_helpers():
     np.testing.assert_allclose(np.asarray(At(X)), np.asarray(A.T @ X), atol=1e-14)
 
 
+@pytest.mark.slow
 def test_iterative_solver_matches_dense():
     """solver='iterative' (matrix-free Jacobi-BiCGStab) reproduces the dense
     path: linear solve, nonlinear Newton, and incremental fwd/adj solves."""

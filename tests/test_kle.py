@@ -92,6 +92,7 @@ def test_identity_orthogonal(kle):
     assert float(rel.max()) < 1e-6
 
 
+@pytest.mark.slow
 def test_error_decay(kle):
     proj, prior = kle
     proj.construct_input_subspace("mass")
@@ -134,6 +135,7 @@ def test_lanczos_matches_dense(kle):
     assert np.linalg.norm(m - np.eye(r), "fro") / np.sqrt(r) < FRO_TOL
 
 
+@pytest.mark.slow
 def test_boundary_restricted_kle(kle):
     """BoundaryRestrictedKLEProjector invariants (`KLEProjector.py:337-434`):
     B-orthonormal decoder, encoder = M_b decoder, eigen-residual of

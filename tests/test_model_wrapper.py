@@ -80,6 +80,7 @@ def test_gn_hessian_spd(wrapper):
     assert float(v @ Hv) >= 0
 
 
+@pytest.mark.slow
 def test_low_rank_jacobian(wrapper):
     m = wrapper.samplePrior(1)[0]
     lin = wrapper.observable.linearize(m)

@@ -57,6 +57,7 @@ def test_dipresnet_shapes(projectors):
     assert model.apply(params, m).shape == (4, DQ)
 
 
+@pytest.mark.slow
 def test_training_reduces_loss(projectors, linear_map_data):
     P, Phi = projectors
     m, q, A, J = linear_map_data
@@ -126,6 +127,7 @@ def test_frozen_input_projection_is_constant(projectors, linear_map_data):
     assert not any(l.shape == (DM, RIN) for l in flat)
 
 
+@pytest.mark.slow
 def test_gauss_newton_cg_step(projectors, linear_map_data):
     import jax.flatten_util  # noqa: F401  (used inside)
 

@@ -84,6 +84,7 @@ def test_poisson_p2_exact_for_quadratic_solution(V2):
     )
 
 
+@pytest.mark.slow
 def test_p2_convergence_rate():
     """L2 error of the P2 Poisson solve converges ~ h^3 (one order better
     than P1)."""
@@ -113,6 +114,7 @@ def test_p2_convergence_rate():
     assert rate[0] > 2.7 and rate[1] > 2.7, (errs, rate)
 
 
+@pytest.mark.slow
 def test_p2_state_p1_parameter_jacobian_adjoint():
     """Mixed spaces: P2 state, P1 parameter — Jacobian/adjoint consistency
     <J dm, dq> == <dm, J^T dq> and agreement with finite differences."""

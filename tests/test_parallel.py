@@ -180,6 +180,7 @@ def test_sharded_active_subspace_spectrum():
     )
 
 
+@pytest.mark.slow
 def test_end_to_end_device_collective():
     """Passing collective=DeviceCollective() shards the whole pipeline
     (sampling -> Jacobians -> GHEP) with results matching NullCollective."""

@@ -116,6 +116,7 @@ def test_sampled_pod_projector():
     assert avg[0] >= avg[1] >= avg[2] - 1e-12
 
 
+@pytest.mark.slow
 def test_pod_auxiliary_methods(tmp_path):
     """two_state_solution, save_mass_and_stiffness_matrices, and
     input_output_error_test (`PODProjector.py:298-327,481-654`)."""
