@@ -47,16 +47,22 @@ def initialize_distributed(
 
     Returns True when running multi-process after the call.
     """
-    already = jax.process_count() > 1
-    if not already and (
+    if (
         coordinator_address is not None
         or os.environ.get("HIPPYFLOW_TPU_DISTRIBUTED") == "1"
     ):
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+        try:
+            # must run before anything initializes the XLA backend — do NOT
+            # probe jax.process_count() first, that itself initializes it
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        except RuntimeError as e:
+            # already-initialized runtimes (repeat calls) are fine
+            if "already" not in str(e).lower():
+                raise
     return jax.process_count() > 1
 
 

@@ -77,3 +77,76 @@ def annotate(name: str):
     import jax
 
     return jax.profiler.TraceAnnotation(name)
+
+
+# -- utilization / MFU ------------------------------------------------------
+
+# Peak dense-matmul throughput per chip, TFLOP/s.  v5e ("v5 lite"): 197
+# bf16 / ~99 with f32 accumulation; v4: 275/137.5.  Fallback covers CPU.
+_PEAK_TFLOPS = {
+    "v5 lite": 98.5,
+    "v5e": 98.5,
+    "v5p": 229.5,
+    "v4": 137.5,
+    "v6": 459.0,
+}
+
+
+def device_peak_tflops(device=None) -> float:
+    """Best-effort peak (f32-accumulation) TFLOP/s of the current device."""
+    import jax
+
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", "").lower()
+    for key, val in _PEAK_TFLOPS.items():
+        if key in kind:
+            return val
+    return 1.0  # CPU-ish fallback; keeps ratios meaningful, not absolute
+
+
+def flops_of(fn, *args) -> float:
+    """XLA's own FLOP count for a jitted callable at these args.
+
+    Uses the AOT path (`jax.jit(fn).lower(...).compile().cost_analysis()`),
+    i.e. the post-optimization HLO — the honest numerator for MFU.
+    Returns 0.0 when the backend reports no analysis.
+    """
+    import jax
+
+    try:
+        compiled = jax.jit(fn).lower(*args).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):  # older jax returns [dict]
+            cost = cost[0] if cost else {}
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def mfu_report(fn, *args, iters: int = 3, name: str = "fn") -> dict:
+    """Measure a jitted callable's achieved TFLOP/s and model-FLOP
+    utilization against the device peak.  Returns a dict (also printable):
+    {flops, seconds, tflops, mfu, device}."""
+    import time as _time
+
+    import jax
+
+    jfn = jax.jit(fn)
+    out = jfn(*args)
+    jax.block_until_ready(out)
+    t0 = _time.time()
+    for _ in range(iters):
+        out = jfn(*args)
+        jax.block_until_ready(out)
+    dt = (_time.time() - t0) / iters
+    fl = flops_of(fn, *args)
+    peak = device_peak_tflops()
+    tflops = fl / dt / 1e12 if dt > 0 else 0.0
+    return {
+        "name": name,
+        "flops": fl,
+        "seconds": dt,
+        "tflops": tflops,
+        "mfu": tflops / peak if peak else 0.0,
+        "device": str(jax.devices()[0]),
+    }
