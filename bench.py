@@ -206,8 +206,15 @@ def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str,
     import numpy as np
 
     if save_data:
-        # dataset artifact (the "1024-sample dataset" part of the target)
+        # dataset artifact (the "1024-sample dataset" part of the target).
+        # Start the device->host transfers asynchronously so they overlap
+        # the (still-running) GHEP execution instead of serializing after it.
         os.makedirs(BENCH_DIR, exist_ok=True)
+        for arr in (proj.samples.ms, proj.samples.qs, dec):
+            try:
+                arr.copy_to_host_async()
+            except Exception:
+                pass
         np.savez(
             os.path.join(BENCH_DIR, "confusion_mq_data.npz"),
             m_data=np.asarray(proj.samples.ms),

@@ -31,9 +31,9 @@ print("devices:", jax.devices())
 
 variants = {
     "classic k1 ls4": dict(newton_stale_factor=1, n_line_search=4),
-    "classic k1 ls3": dict(newton_stale_factor=1, n_line_search=3),
-    "classic k1 ls2": dict(newton_stale_factor=1, n_line_search=2),
-    "classic k1 ls1": dict(newton_stale_factor=1, n_line_search=1),
+    "shamanskii k2 ls4": dict(newton_stale_factor=2, n_line_search=4),
+    "shamanskii k3 ls4": dict(newton_stale_factor=3, n_line_search=4),
+    "shamanskii k4 ls4": dict(newton_stale_factor=4, n_line_search=4),
 }
 
 key = jax.random.PRNGKey(0)

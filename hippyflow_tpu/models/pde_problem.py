@@ -374,30 +374,41 @@ class VariationalPDEProblem:
             _, r, it = state
             return (jnp.linalg.norm(r) > tol) & (it < self.newton_max_iter)
 
-        def line_search_step(fac, u, r):
+        def line_search_step(fac, u, r, chord: bool):
             du = -fac.solve(r)
             rn = jnp.linalg.norm(r)
 
+            # keep the full residual vectors: the accepted step's residual is
+            # selected instead of re-evaluated (saves 1 of n_ls+1 residual
+            # evaluations per Newton iteration)
             def try_alpha(a):
-                return jnp.linalg.norm(self.residual_masked(u + a * du, m, z))
+                return self.residual_masked(u + a * du, m, z)
 
-            rnorms = jax.vmap(try_alpha)(alphas)
+            rvecs = jax.vmap(try_alpha)(alphas)
+            rnorms = jnp.linalg.norm(rvecs, axis=1)
             ok = rnorms < (1.0 - 1e-4 * alphas) * rn
             idx = jnp.argmax(ok)  # first acceptable step (Armijo)
             idx = jnp.where(ok.any(), idx, jnp.argmin(rnorms))
-            alpha = alphas[idx]
-            u_new = u + alpha * du
-            r_new = self.residual_masked(u_new, m, z)
-            return u_new, r_new
+            if chord:
+                # no-regress guard for stale-factor (chord) steps only: a
+                # chord direction may increase the residual everywhere;
+                # keeping the iterate lets the next FRESH factorization
+                # resume progress.  Fresh steps must always move (argmin
+                # fallback) or a hard lane stalls at a fixed point.
+                take = rnorms[idx] < rn
+                u_new = jnp.where(take, u + alphas[idx] * du, u)
+                r_new = jnp.where(take, rvecs[idx], r)
+                return u_new, r_new
+            return u + alphas[idx] * du, rvecs[idx]
 
         def body(state):
             u, r, it = state
             fac = self._assemble_factorize(u, m, z, with_transpose=False)
-            u, r = line_search_step(fac, u, r)
+            u, r = line_search_step(fac, u, r, chord=False)
             # Shamanskii: extra chord steps with the stale factorization,
             # masked to lanes still above tolerance
             for _ in range(self.newton_stale_factor - 1):
-                u2, r2 = line_search_step(fac, u, r)
+                u2, r2 = line_search_step(fac, u, r, chord=True)
                 take = jnp.linalg.norm(r) > tol
                 u = jnp.where(take, u2, u)
                 r = jnp.where(take, r2, r)
