@@ -4,6 +4,7 @@ from .collective import (
     CollectiveOperator,
     MatrixMultCollectiveOperator,
     make_sample_fem_mesh,
+    make_multislice_mesh,
     check_consistent_sharding,
     initialize_distributed,
 )

@@ -217,6 +217,36 @@ def make_sample_fem_mesh(n_sample: int, n_fem: int = 1) -> Mesh:
     return Mesh(devs.reshape(n_sample, n_fem), ("sample", "fem"))
 
 
+def make_multislice_mesh(n_fem: int = 1) -> Mesh:
+    """('sample', 'fem') mesh spanning every slice/host, DCN-aware.
+
+    Multi-slice topology mapping (SURVEY.md §5.8): the 'sample' axis — whose
+    only collective is the cheap psum of Monte-Carlo expectations — is laid
+    out to span slices (DCN hops), while the communication-heavy 'fem'
+    (halo exchange + SPIKE interface gathers) stays inside a slice on ICI.
+    Uses jax's hybrid mesh builder when slice boundaries are exposed;
+    degenerates to `make_sample_fem_mesh` on a single slice."""
+    devs = jax.devices()
+    n_sample = len(devs) // n_fem
+    assert n_sample * n_fem == len(devs), (
+        f"{len(devs)} devices not divisible by n_fem={n_fem}"
+    )
+    num_slices = len({getattr(d, "slice_index", 0) for d in devs})
+    if num_slices > 1:
+        from jax.experimental import mesh_utils
+
+        # granule 0 = within-slice (ICI), granule 1 = across slices (DCN):
+        # fem must stay within a slice; sample absorbs the cross-slice axis.
+        per_slice = len(devs) // num_slices
+        dm = mesh_utils.create_hybrid_device_mesh(
+            (per_slice // n_fem, n_fem),
+            (num_slices, 1),
+            devices=devs,
+        )
+        return Mesh(dm.reshape(n_sample, n_fem), ("sample", "fem"))
+    return make_sample_fem_mesh(n_sample, n_fem)
+
+
 def check_consistent_sharding(
     x, expected_axis: str = "sample", warn_unsharded: bool = True
 ) -> bool:

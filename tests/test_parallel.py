@@ -223,3 +223,14 @@ def test_end_to_end_device_collective():
     d_dev, proj_dev = run(DeviceCollective())
     assert check_consistent_sharding(proj_dev.samples.ms)
     np.testing.assert_allclose(d_dev, d_null, rtol=1e-11, atol=1e-14)
+
+
+def test_make_multislice_mesh_single_slice():
+    """On a single slice the DCN-aware builder degenerates to the plain
+    ('sample','fem') grid covering all devices."""
+    from hippyflow_tpu.parallel import make_multislice_mesh
+
+    mesh = make_multislice_mesh(n_fem=2)
+    assert mesh.axis_names == ("sample", "fem")
+    assert mesh.shape["sample"] * mesh.shape["fem"] == len(jax.devices())
+    assert mesh.shape["fem"] == 2
