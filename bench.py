@@ -196,9 +196,20 @@ def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str,
     log("warmup pass (compiles all programs) ...")
     t0 = time.time()
     warm = ActiveSubspaceProjector(obs, prior, parameters=params)
-    warm.construct_input_subspace(prior_preconditioned=True)
+    d_warm, _, _ = warm.construct_input_subspace(prior_preconditioned=True)
+    # drain the device queue: construct_input_subspace dispatches
+    # asynchronously, and un-awaited warmup work would otherwise overlap
+    # into (and corrupt) the timed pass
+    jax.block_until_ready(d_warm)
     first_run = time.time() - t0
     log(f"warmup pass done in {first_run:.1f}s")
+    # free the warm-up pass's device buffers (its retained Jacobian stack
+    # alone is ~1.7 GB); keeping them live fragments HBM and measurably
+    # slows the timed pass's allocations
+    del warm
+    import gc
+
+    gc.collect()
 
     proj = ActiveSubspaceProjector(obs, prior, parameters=params)
     t_start = time.time()

@@ -378,14 +378,15 @@ class VariationalPDEProblem:
             du = -fac.solve(r)
             rn = jnp.linalg.norm(r)
 
-            # keep the full residual vectors: the accepted step's residual is
-            # selected instead of re-evaluated (saves 1 of n_ls+1 residual
-            # evaluations per Newton iteration)
+            # Norm-only candidate evaluation: each alpha's residual fuses
+            # into a single assembly->reduce pass (materializing the four
+            # residual VECTORS to select from them measured ~2x slower on
+            # the chunked bench pipeline — fusion loss beats the one saved
+            # residual evaluation).
             def try_alpha(a):
-                return self.residual_masked(u + a * du, m, z)
+                return jnp.linalg.norm(self.residual_masked(u + a * du, m, z))
 
-            rvecs = jax.vmap(try_alpha)(alphas)
-            rnorms = jnp.linalg.norm(rvecs, axis=1)
+            rnorms = jax.vmap(try_alpha)(alphas)
             ok = rnorms < (1.0 - 1e-4 * alphas) * rn
             idx = jnp.argmax(ok)  # first acceptable step (Armijo)
             idx = jnp.where(ok.any(), idx, jnp.argmin(rnorms))
@@ -397,9 +398,10 @@ class VariationalPDEProblem:
                 # fallback) or a hard lane stalls at a fixed point.
                 take = rnorms[idx] < rn
                 u_new = jnp.where(take, u + alphas[idx] * du, u)
-                r_new = jnp.where(take, rvecs[idx], r)
-                return u_new, r_new
-            return u + alphas[idx] * du, rvecs[idx]
+            else:
+                u_new = u + alphas[idx] * du
+            r_new = self.residual_masked(u_new, m, z)
+            return u_new, r_new
 
         def body(state):
             u, r, it = state

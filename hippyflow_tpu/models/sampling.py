@@ -24,26 +24,33 @@ from .observable import LinearStateObservable
 
 def _device_memory_budget_gb() -> float:
     """A quarter of the accelerator's HBM (factorizations are one of several
-    live buffers: samples, Jacobians, probe blocks); 2 GB fallback when the
-    backend doesn't report memory (CPU)."""
+    live buffers: samples, Jacobians, probe blocks).  Fallbacks: ~30% of a
+    16 GB chip when a TPU backend doesn't report memory (the axon tunnel
+    device has no memory_stats), 2 GB on CPU."""
     try:
         stats = jax.devices()[0].memory_stats()
         if stats and "bytes_limit" in stats:
             return 0.25 * stats["bytes_limit"] / 1e9
     except Exception:
         pass
-    return 2.0
+    return 4.8 if jax.default_backend() == "tpu" else 2.0
 
 
 def auto_chunk_size(
     state_dim: int, dtype=None, memory_gb: float | None = None, problem=None
 ) -> int:
-    """Largest sample-batch whose factorizations fit the memory budget.
+    """Largest power-of-two sample-batch whose factorizations fit the
+    memory budget.
 
     Dense path: 3 n^2 bytes/sample (A + factor + slack).  Structured banded
     path (block-tridiagonal Thomas): ~16 n s bytes/sample (band + D/L/B +
     LU'd diagonal + solve temporaries) — n/s-fold smaller, so chunks grow by
-    the same factor and the MXU sees far larger batched matmuls."""
+    the same factor and the MXU sees far larger batched matmuls.
+
+    Power-of-two rounding keeps chunk shapes stable across runs (compile
+    cache hits) and near the measured latency-saturation point: on v5e the
+    batched Newton chunk costs the same wall-clock at 113 as at 256 samples
+    (latency-bound below ~256), so undersized chunks waste nearly 2x."""
     dtype = dtype or config.default_dtype()
     if memory_gb is None:
         memory_gb = _device_memory_budget_gb()
@@ -52,7 +59,8 @@ def auto_chunk_size(
         per_sample = 16.0 * state_dim * problem._block_size * itemsize
     else:
         per_sample = 3.0 * state_dim * state_dim * itemsize
-    return max(1, min(4096, int(memory_gb * 1e9 / per_sample)))
+    n = max(1, min(4096, int(memory_gb * 1e9 / per_sample)))
+    return 1 << (n.bit_length() - 1)
 
 
 def _jit_cache(obj):
