@@ -139,7 +139,9 @@ def sample_until_solved(
             chunk_size = min(4096, chunk_size * collective.size())
     shard = (lambda x: x) if collective is None else collective.shard_samples
     with_control = control_distribution is not None
-    warm_start = not reset_initial_guess and not problem.is_fwd_linear
+    warm_start = not reset_initial_guess and not getattr(
+        problem, "is_fwd_linear", True
+    )
 
     cache = _jit_cache(observable)
 
