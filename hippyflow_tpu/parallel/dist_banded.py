@@ -272,16 +272,34 @@ def factorize_distributed_banded(
     return DistributedBandedFactor(fwd, adj, nb * s, s)
 
 
-def place_on_mesh(factor, mesh: Mesh, axis: str = "fem"):
-    """Pin every per-partition leaf (leading axis = n_parts) to ``axis`` and
-    replicate the small reduced-system factors.  Returns a new pytree."""
+def place_on_mesh(factor, mesh: Mesh, axis: str = "fem", sample_axis: str | None = None):
+    """Pin every per-partition leaf (partition axis = ``n_parts``) to
+    ``axis`` and replicate the small reduced-system factors.
+
+    With ``sample_axis`` the factor is a BATCH of per-sample factors (built
+    with ``jax.vmap(factorize_distributed_banded)``): the leading sample
+    axis shards over ``sample_axis`` and the partition axis (now axis 1)
+    over ``axis`` — the full 2D grid composition of sample x domain
+    parallelism (reference strategy #3, `splitCommunicators`,
+    `comm_utils.py:19-40`).  Returns a new pytree."""
     n_parts = mesh.shape[axis]
 
     def place(leaf):
         if leaf is None:
             return None
-        if jnp.ndim(leaf) >= 1 and leaf.shape[0] == n_parts:
-            spec = P(axis, *([None] * (jnp.ndim(leaf) - 1)))
+        nd = jnp.ndim(leaf)
+        if (
+            sample_axis is not None
+            and nd >= 2
+            and leaf.shape[1] == n_parts
+        ):
+            spec = P(sample_axis, axis, *([None] * (nd - 2)))
+        elif sample_axis is not None and nd >= 1:
+            # small replicated-per-sample pieces (reduced-system factors):
+            # shard the sample axis only
+            spec = P(sample_axis, *([None] * (nd - 1)))
+        elif nd >= 1 and leaf.shape[0] == n_parts:
+            spec = P(axis, *([None] * (nd - 1)))
         else:
             spec = P()
         return jax.device_put(leaf, NamedSharding(mesh, spec))

@@ -189,3 +189,31 @@ def test_large_mesh_dof_sharded():
     assert bool(info.converged)
     r = pde.residual_masked(u, m, z)
     assert float(jnp.linalg.norm(r)) < 1e-8 * max(1.0, float(jnp.linalg.norm(u)))
+
+
+def test_2d_sample_fem_composition():
+    """Full 2D grid: a BATCH of per-sample distributed factors with the
+    sample axis sharded over 'sample' and partitions over 'fem' — the
+    composition of sample and domain parallelism (reference strategy #3,
+    splitCommunicators 2D process grid)."""
+    n_sample, n_fem = 2, 4
+    mesh2 = make_sample_fem_mesh(n_sample, n_fem)
+    nb, s, k = 12, 5, 3
+    bands = jnp.stack([_random_band(nb, s, seed=i) for i in range(n_sample)])
+    X = jnp.asarray(
+        np.random.default_rng(9).standard_normal((n_sample, nb * s, k))
+    )
+
+    F = jax.vmap(lambda b: factorize_distributed_banded(b, n_fem))(bands)
+    F = place_on_mesh(F, mesh2, axis="fem", sample_axis="sample")
+    sh = F.fwd.W.sharding
+    assert isinstance(sh, NamedSharding)
+    assert sh.spec[0] == "sample" and sh.spec[1] == "fem"
+    Xs = jax.device_put(X, NamedSharding(mesh2, P("sample", None, None)))
+
+    sol = jax.jit(jax.vmap(lambda f, x: f.solve(x)))(F, Xs)
+    for i in range(n_sample):
+        ref = factorize_block_cyclic_banded(bands[i]).solve(X[i])
+        np.testing.assert_allclose(
+            np.asarray(sol[i]), np.asarray(ref), rtol=1e-10, atol=1e-11
+        )
