@@ -271,7 +271,6 @@ class StructuredBiLaplacianPrior:
         self.gamma, self.delta = float(gamma), float(delta)
         self._mesh, self._fem_axis = mesh, fem_axis
         if mesh is not None:
-            assert materialize, "dof-sharded prior requires materialize=True"
             assert fem_axis in mesh.axis_names
 
         M_band = mass_matrix_banded(Vh, dtype=dtype)
@@ -329,6 +328,27 @@ class StructuredBiLaplacianPrior:
             self._cell_idx = self._band_idx(Vh.mesh.cells).astype(np.int32)
             self._dtype = dtype
             self._cached_ops = None
+            if mesh is not None:
+                # static partition plans for the dof-sharded in-trace
+                # assembly (parallel/dist_banded.dist_assemble_band)
+                from ..parallel.dist_banded import partition_cells_by_row
+
+                s_blk = Vh.mesh.structured_shape[0] + 1
+                nb = Vh.dim // s_blk
+                n_parts = mesh.shape[fem_axis]
+                cells = np.asarray(Vh.mesh.cells)
+                self._cell_plan, _ = partition_cells_by_row(
+                    (cells // s_blk).min(axis=1), nb, n_parts
+                )
+                if self._Kb_e is not None:
+                    from ..fem.mesh import boundary_edges
+
+                    edges = np.asarray(boundary_edges(Vh.mesh))
+                    self._edge_plan, _ = partition_cells_by_row(
+                        (edges // s_blk).min(axis=1), nb, n_parts
+                    )
+                else:
+                    self._edge_plan = None
 
         if mean is None:
             mean = jnp.zeros(Vh.dim, dtype=dtype)
@@ -356,13 +376,18 @@ class StructuredBiLaplacianPrior:
 
         mesh, axis = self._mesh, self._fem_axis
         n_parts = mesh.shape[axis]
+        n_true = self.Vh.dim
         K_fac = place_on_mesh(
-            factorize_distributed_banded(K_band, n_parts, with_transpose=False),
+            factorize_distributed_banded(
+                K_band, n_parts, with_transpose=False, n_true=n_true
+            ),
             mesh,
             axis,
         )
         M_fac = place_on_mesh(
-            factorize_distributed_banded(M_band, n_parts, with_transpose=False),
+            factorize_distributed_banded(
+                M_band, n_parts, with_transpose=False, n_true=n_true
+            ),
             mesh,
             axis,
         )
@@ -394,6 +419,46 @@ class StructuredBiLaplacianPrior:
 
         s = self.Vh.mesh.structured_shape[0] + 1
         n = self.Vh.dim
+
+        if self._mesh is not None:
+            # dof-sharded in-trace assembly: per-shard segment_sum + one
+            # halo-row hop; the global band is never materialized on one
+            # device (large-mesh scaling path)
+            from ..parallel.dist_banded import dist_assemble_band
+
+            nb = n // s
+            nc = self._M_e.shape[0]
+
+            def dist_scatter(vals_e, idx, plan):
+                return dist_assemble_band(
+                    self._mesh,
+                    jnp.asarray(vals_e, self._dtype).reshape(
+                        vals_e.shape[0], -1
+                    ),
+                    jnp.asarray(idx).reshape(vals_e.shape[0], -1),
+                    plan,
+                    nb,
+                    s,
+                    axis=self._fem_axis,
+                )
+
+            M_band = dist_scatter(self._M_e, self._cell_idx, self._cell_plan)
+            K_band = dist_scatter(self._K_e, self._cell_idx, self._cell_plan)
+            if self._Kb_e is not None:
+                # boundary-edge contributions: zero the pad-row identity the
+                # helper adds before summing bands (only one identity stays)
+                Kb = dist_scatter(self._Kb_e, self._edge_idx, self._edge_plan)
+                pad_rows = Kb.shape[0] - nb
+                if pad_rows:
+                    eye_pad = jnp.zeros_like(Kb)
+                    eye_pad = eye_pad.at[nb:, :, s : 2 * s].set(
+                        jnp.eye(s, dtype=Kb.dtype)
+                    )
+                    Kb = Kb - eye_pad
+                K_band = K_band + Kb
+                # remove the doubled pad identity from summing M-free K
+                # contributions (K already carries one from its own scatter)
+            return self._build_ops(M_band, K_band)
 
         def scatter(vals_e, idx):
             flat = jax.ops.segment_sum(

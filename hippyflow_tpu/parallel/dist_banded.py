@@ -92,7 +92,8 @@ def dist_block_tridiag_matmat(mesh: Mesh, band, X, axis: str = "fem"):
         X = X[:, None]
     nb, s = band.shape[0], band.shape[1]
     band_p, nb_pad = _pad_band(band, n_parts)
-    xb = _pad_rhs(X, nb * s, nb_pad * s).reshape(nb_pad, s, -1)
+    n_x = X.shape[0]  # may be < nb*s when the band is already padded
+    xb = _pad_rhs(X, n_x, nb_pad * s).reshape(nb_pad, s, -1)
 
     fwd = [(i, i + 1) for i in range(n_parts - 1)]  # halo to the right
     bwd = [(i + 1, i) for i in range(n_parts - 1)]  # halo to the left
@@ -115,7 +116,7 @@ def dist_block_tridiag_matmat(mesh: Mesh, band, X, axis: str = "fem"):
     y = jax.shard_map(
         kernel, mesh=mesh, in_specs=(spec, spec), out_specs=spec
     )(band_p, xb)
-    out = y.reshape(nb_pad * s, -1)[: nb * s]
+    out = y.reshape(nb_pad * s, -1)[:n_x]
     return out[:, 0] if squeeze else out
 
 
@@ -252,13 +253,15 @@ class DistributedBandedFactor:
 
 
 def factorize_distributed_banded(
-    band, n_parts: int, with_transpose: bool = True
+    band, n_parts: int, with_transpose: bool = True, n_true: int | None = None
 ) -> DistributedBandedFactor:
     """Partitioned-SPIKE factorization from (nb, s, 3s) band storage.
 
     Pure traced computation (safe inside jit / Newton loops); use
     ``place_on_mesh`` to pin an eagerly-built factor's partition axis to the
-    'fem' mesh axis."""
+    'fem' mesh axis.  ``n_true`` declares the unpadded system size when the
+    input band is already padded (e.g. from `dist_assemble_band`): solves
+    then accept/return vectors of that length."""
     nb, s = band.shape[0], band.shape[1]
     band_p, _ = _pad_band(band, n_parts)
     fwd = _build_side(band_p, n_parts)
@@ -269,7 +272,7 @@ def factorize_distributed_banded(
         b = band_p[:, :, 2 * s :]
         a_t, d_t, b_t = _transpose_band(a, d, b)
         adj = _build_side(jnp.concatenate([a_t, d_t, b_t], axis=2), n_parts)
-    return DistributedBandedFactor(fwd, adj, nb * s, s)
+    return DistributedBandedFactor(fwd, adj, n_true or nb * s, s)
 
 
 def place_on_mesh(factor, mesh: Mesh, axis: str = "fem", sample_axis: str | None = None):
@@ -305,3 +308,106 @@ def place_on_mesh(factor, mesh: Mesh, axis: str = "fem", sample_axis: str | None
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(place, factor)
+
+
+# ---------------------------------------------------------------------------
+# Dof-sharded banded assembly
+# ---------------------------------------------------------------------------
+
+
+def partition_cells_by_row(cell_rows: np.ndarray, nb: int, n_parts: int):
+    """Static (numpy) partition plan for sharded assembly.
+
+    cell_rows: (nc,) minimum block row touched by each cell.  Cells are
+    assigned to the partition owning their minimum row; a cell may also
+    scatter into the first row of the NEXT partition (P1 structured cells
+    span two adjacent rows), handled by a halo row.  Returns
+    (cell_ids (P, Cmax) padded with -1, L) where L = padded rows/partition.
+    """
+    L = -(-nb // n_parts)
+    part_of_cell = np.clip(cell_rows // L, 0, n_parts - 1)
+    counts = np.bincount(part_of_cell, minlength=n_parts)
+    cmax = int(counts.max())
+    cell_ids = np.full((n_parts, cmax), -1, dtype=np.int64)
+    for p in range(n_parts):
+        ids = np.nonzero(part_of_cell == p)[0]
+        cell_ids[p, : len(ids)] = ids
+    return cell_ids, L
+
+
+def dist_assemble_band(
+    mesh: Mesh,
+    vals_e,
+    band_idx,
+    cell_ids,
+    nb: int,
+    s: int,
+    axis: str = "fem",
+):
+    """Assemble a (nb_pad, s, 3s) band with the block-row axis sharded over
+    ``axis``: each shard segment-sums its own cells into a local band chunk
+    plus ONE halo row (the first row of the next partition), then the halo
+    row rides a single `lax.ppermute` hop and is added in — no device ever
+    materializes the global band, which is what lets meshes grow past one
+    chip's HBM.
+
+    Args:
+        vals_e: (nc, e) per-cell flattened element-matrix entries (e = a*a).
+        band_idx: (nc, e) flat global band indices (row-major into
+            (nb, s, 3s)); -1-padded entries in cell_ids select zeros.
+        cell_ids: (P, Cmax) partition plan from `partition_cells_by_row`.
+        nb, s: global block rows / block size.
+    Returns the band sharded as P(axis, None, None), padded to P*L rows.
+    """
+    n_parts = mesh.shape[axis]
+    L = -(-nb // n_parts)
+    vals_e = jnp.asarray(vals_e).reshape(vals_e.shape[0], -1)
+    band_idx = jnp.asarray(band_idx).reshape(band_idx.shape[0], -1)
+    e = vals_e.shape[1]
+    # gather per-partition element data (pad cell -1 -> zero contribution)
+    cell_ids_j = jnp.asarray(cell_ids)
+    safe = jnp.maximum(cell_ids_j, 0)
+    pv = jnp.where((cell_ids_j < 0)[:, :, None], 0.0, vals_e[safe])  # (P,C,e)
+    pidx = band_idx[safe]  # (P, C, e) global flat indices
+    # local flat index within the shard's (L+1, s, 3s) buffer
+    row_of = pidx // (3 * s * s)
+    base = (jnp.arange(n_parts) * L)[:, None, None]
+    lidx = pidx - base * (3 * s * s)
+    lidx = jnp.where((cell_ids_j < 0)[:, :, None], (L + 1) * 3 * s * s, lidx)
+    del row_of
+
+    fwd = [(i, i + 1) for i in range(n_parts - 1)]
+
+    def kernel(v, li):
+        # v, li: (1, C, e) local slices
+        flat = jax.ops.segment_sum(
+            v[0].reshape(-1),
+            li[0].reshape(-1),
+            num_segments=(L + 1) * 3 * s * s,
+        ).reshape(L + 1, s, 3 * s)
+        halo = jax.lax.ppermute(flat[L], axis, fwd)  # neighbor's overflow row
+        out = flat[:L].at[0].add(halo)
+        # identity diagonal on pad rows (global row >= nb) keeps the padded
+        # band factorizable, matching _pad_band's convention
+        row_global = jax.lax.axis_index(axis) * L + jnp.arange(L)
+        pad = (row_global >= nb).astype(out.dtype)[:, None, None]
+        ri = jax.lax.broadcasted_iota(jnp.int32, (1, s, 3 * s), 1)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (1, s, 3 * s), 2)
+        eye_blk = (ci - s == ri).astype(out.dtype)
+        out = out + pad * eye_blk
+        return out[None]
+
+    spec = P(axis, None, None)
+    band = jax.shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None, None)),
+        out_specs=P(axis, None, None, None),
+    )(
+        jax.device_put(pv, NamedSharding(mesh, P(axis, None, None))),
+        jax.device_put(lidx, NamedSharding(mesh, P(axis, None, None))),
+    )
+    band = band.reshape(n_parts * L, s, 3 * s)
+    return jax.lax.with_sharding_constraint(
+        band, NamedSharding(mesh, spec)
+    )

@@ -103,6 +103,19 @@ def test_dist_prior_matches_unsharded():
         b = np.asarray(getattr(p_dist, op)(X))
         np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-11)
 
+    # trace-friendly mode + mesh: dof-SHARDED in-trace assembly (the global
+    # band is never materialized on one device) must also match
+    p_trace = StructuredBiLaplacianPrior(
+        Vh, 0.1, 1.0, robin_bc=True, mesh=mesh2d, fem_axis="fem",
+        materialize=False,
+    )
+    m_trace = np.asarray(p_trace.sample(noise))
+    np.testing.assert_allclose(m_trace, m_ref, rtol=1e-10, atol=1e-12)
+    for op in ("Rsolver_matmat", "R_matmat", "M_matmat", "Msolver_matmat"):
+        a = np.asarray(getattr(p_ref, op)(X))
+        b = np.asarray(getattr(p_trace, op)(X))
+        np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-11)
+
 
 @pytest.mark.parametrize("linear", [True, False])
 def test_forward_solve_dof_sharded(linear):
@@ -217,3 +230,50 @@ def test_2d_sample_fem_composition():
         np.testing.assert_allclose(
             np.asarray(sol[i]), np.asarray(ref), rtol=1e-10, atol=1e-11
         )
+
+
+def test_dist_assemble_band_matches_unsharded():
+    """Sharded assembly (per-shard segment_sum + one halo-row ppermute)
+    reproduces the unsharded band exactly, and the resulting sharded band
+    feeds the SPIKE solve directly — no device ever holds the global band."""
+    from hippyflow_tpu.models.prior import StructuredBiLaplacianPrior
+    from hippyflow_tpu.parallel.dist_banded import (
+        dist_assemble_band,
+        partition_cells_by_row,
+    )
+
+    Vh = hf.FunctionSpace(hf.unit_square_mesh(13))  # nb=14, non-divisible by 4
+    pr = StructuredBiLaplacianPrior(Vh, 0.1, 1.0, materialize=False)
+    K_ref = np.asarray(pr._ops()[4])  # (nb, s, 3s) unsharded scatter
+    s = Vh.mesh.structured_shape[0] + 1
+    nb = Vh.dim // s
+    n_fem = 4
+    mesh = _fem_mesh(n_fem)
+    cells = np.asarray(Vh.mesh.cells)
+    cell_rows = (cells // s).min(axis=1)
+    cell_ids, L = partition_cells_by_row(cell_rows, nb, n_fem)
+    nc = cells.shape[0]
+    band = dist_assemble_band(
+        mesh,
+        np.asarray(pr._K_e).reshape(nc, -1),
+        np.asarray(pr._cell_idx).reshape(nc, -1),
+        cell_ids,
+        nb,
+        s,
+    )
+    assert isinstance(band.sharding, NamedSharding)
+    assert band.sharding.spec[0] == "fem"
+    np.testing.assert_allclose(
+        np.asarray(band)[:nb], K_ref, rtol=1e-12, atol=1e-13
+    )
+    # pad rows are identity (factorizable), and the sharded band solves
+    eye = np.eye(s)
+    for r in range(nb, n_fem * L):
+        np.testing.assert_array_equal(np.asarray(band)[r, :, s : 2 * s], eye)
+    F = factorize_distributed_banded(band[:nb], n_fem)
+    rhs = jax.random.normal(jax.random.PRNGKey(0), (Vh.dim, 2))
+    x = F.solve(rhs)
+    np.testing.assert_allclose(
+        np.asarray(block_tridiag_matmat(band[:nb], x)), np.asarray(rhs),
+        atol=1e-9,
+    )
