@@ -433,13 +433,14 @@ class ActiveSubspaceProjector:
             if output_directory is not None
             else None
         )
+        if chunk_dir is not None:
+            os.makedirs(chunk_dir, exist_ok=True)
         n = s.ms.shape[0]
         chunk_size = self.parameters["chunk_size"] or n
         done = {}
         if chunk_dir is not None and check_for_data:
             from .data_generator import DataGenerator
 
-            os.makedirs(chunk_dir, exist_ok=True)
             for a, b, f in DataGenerator._scan_chunks(chunk_dir):
                 done[(a, b)] = f
 
@@ -452,14 +453,19 @@ class ActiveSubspaceProjector:
                     sigs.append(jnp.asarray(z[f"sigma{prefix}_data"]))
                     Vs.append(jnp.asarray(z[f"V{prefix}_data"]))
                 continue
-            J = materialize_jacobians(
-                self.observable,
-                s.ms[a:b],
-                s.us[a:b],
-                s.zs[a:b] if s.zs is not None else None,
-                chunk_size=b - a,
-                control=control,
-            )
+            if not control and self.Js is not None:
+                # Jacobians already materialized by the subspace build:
+                # reuse the stack instead of re-running the adjoint solves
+                J = self.Js[a:b]
+            else:
+                J = materialize_jacobians(
+                    self.observable,
+                    s.ms[a:b],
+                    s.us[a:b],
+                    s.zs[a:b] if s.zs is not None else None,
+                    chunk_size=b - a,
+                    control=control,
+                )
             rank = min(rank_param, min(J.shape[1], J.shape[2]))
             U, sig, Vt = jnp.linalg.svd(J, full_matrices=False)
             U, sig, V = (
@@ -559,11 +565,25 @@ class ActiveSubspaceProjector:
                 u, info = problem.solve_fwd(m, z=z)
                 return self.observable.evalu(u), info.converged
 
+            from .sampling import auto_chunk_size
+
             in_axes = (0, 0 if zs is not None else None)
-            qs, ok = jax.jit(jax.vmap(one, in_axes=in_axes))(ms, zs)
-            ok = np.asarray(ok)
+            fn = jax.jit(jax.vmap(one, in_axes=in_axes))
+            cs = auto_chunk_size(problem.state_dim, ms.dtype, problem=problem)
+            qs_l, ok_l = [], []
+            for a in range(0, n, cs):
+                qc, okc = fn(ms[a : a + cs], zs[a : a + cs] if zs is not None else None)
+                qs_l.append(qc)
+                ok_l.append(okc)
+            qs = jnp.concatenate(qs_l)
+            ok = np.asarray(jnp.concatenate(ok_l))
             n_valid = int(ok.sum())
             out[("output_discarded", None)] = n - n_valid
+            if n_valid == 0:
+                raise RuntimeError(
+                    "output error test: every fresh forward solve failed; "
+                    "no samples left after the discard correction"
+                )
             # discard failed lanes; MC averages below run over the survivors
             # only — the rescaling-by-discard-count correction
             Q = jnp.asarray(np.asarray(qs)[ok])

@@ -24,6 +24,8 @@ import time
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from ..utils import KeyChain
 from .pod import PODProjectorFromData
 from .observable import StateSpaceIdentityOperator
@@ -42,6 +44,29 @@ def data_generator_settings(settings: dict | None = None) -> dict:
     settings.setdefault("chunk_size", None)
     settings.setdefault("seed", 0)
     return settings
+
+
+def contiguous_prefix_end(done) -> int:
+    """Largest e with chunks [0, e) contiguously covered by the sorted
+    (start, end, path) records — resume restarts at the first GAP, not after
+    the last chunk, so a deleted/corrupt early chunk is regenerated."""
+    end = 0
+    for a, b, _ in done:
+        if a <= end < b:
+            end = b
+        elif a > end:
+            break
+    return end
+
+
+def chunk_keychain(seed: int, tag: int, chunk_start: int) -> KeyChain:
+    """Deterministic per-chunk PRNG stream: the chunk starting at sample
+    ``chunk_start`` always draws the same noise, independent of process
+    restarts, resampling retries in other chunks, or resume position —
+    which is what makes chunk-granular resume produce bit-identical
+    datasets to an uninterrupted run."""
+    base = jax.random.fold_in(jax.random.PRNGKey(seed), tag)
+    return KeyChain(jax.random.fold_in(base, chunk_start))
 
 
 class DataGenerator:
@@ -97,9 +122,9 @@ class DataGenerator:
         MPhi = jnp.asarray(output_encoder) if output_decoder is not None else None
         Psi = jnp.asarray(input_decoder) if input_decoder is not None else None
 
-        # resume: find already-generated chunks
+        # resume: first gap in the contiguous chunk prefix
         done = self._scan_chunks(chunk_dir)
-        start = done[-1][1] if done else 0
+        start = contiguous_prefix_end(done)
         t0 = time.time()
         i = start
         while i < n_samples:
@@ -107,7 +132,7 @@ class DataGenerator:
             batch = sample_until_solved(
                 self.observable,
                 self.prior,
-                self.keychain,
+                chunk_keychain(self.settings["seed"], 0, i),
                 b,
                 control_distribution=self.control_distribution,
                 chunk_size=b,

@@ -344,10 +344,15 @@ class VariationalPDEProblem:
         u = fac.solve(b)
         # Real convergence flag (direct factors trivially pass; a stagnated
         # iterative solve fails): residual of the solved linear system
-        # relative to its rhs, at a dtype-aware tolerance.
+        # relative to its rhs.  Tolerance: ~1.5e-5 relative in f64 and
+        # ~1.2e-4 in f32 — loose enough for direct-factor roundoff at these
+        # condition numbers, tight enough that a stagnated iterative solve
+        # (percent-level residual) is flagged in BOTH dtypes (the plain
+        # 1e3*sqrt(eps) formula is vacuous at 0.35 relative in f32).
         rn = jnp.linalg.norm(self.residual_masked(u, m, z))
-        eps = jnp.finfo(m.dtype).eps
-        tol = 1e3 * jnp.sqrt(eps) * (1.0 + jnp.linalg.norm(b))
+        eps = float(jnp.finfo(m.dtype).eps)
+        tol_rel = max(1e3 * eps, min(1e3 * eps**0.5, 1e-4))
+        tol = tol_rel * (1.0 + jnp.linalg.norm(b))
         info = NewtonInfo(
             converged=rn <= tol,
             iterations=jnp.asarray(1),

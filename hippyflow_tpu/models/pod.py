@@ -166,16 +166,20 @@ class PODProjector:
             self.prior.mean.dtype,
             problem=self.observable.problem,
         )
+        from .data_generator import chunk_keychain, contiguous_prefix_end
+
         done = DataGenerator._scan_chunks(chunk_dir) if check_for_data else []
-        i = done[-1][1] if done else 0
+        i = contiguous_prefix_end(done)
         if i > 0 and self.parameters["verbose"]:
             print(f"resuming training-data generation at sample {i}")
         while i < n:
             b = min(chunk_size, n - i)
+            # per-chunk deterministic keys (tag 1 = POD training data):
+            # restarted runs reproduce an uninterrupted run bit-for-bit
             batch = sample_until_solved(
                 self.observable,
                 self.prior,
-                self.keychain,
+                chunk_keychain(self.parameters["seed"], 1, i),
                 b,
                 control_distribution=self.control_distribution,
                 chunk_size=b,

@@ -427,7 +427,6 @@ class StructuredBiLaplacianPrior:
             from ..parallel.dist_banded import dist_assemble_band
 
             nb = n // s
-            nc = self._M_e.shape[0]
 
             def dist_scatter(vals_e, idx, plan):
                 return dist_assemble_band(

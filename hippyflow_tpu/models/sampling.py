@@ -202,7 +202,11 @@ def sample_until_solved(
             u0 = u_prev[:b]
         m, u, q, ok = solve_chunk(noise, z, u0)
         if warm_start:
-            u_prev = u
+            # sanitize the carried states: a diverged/failed lane must not
+            # poison the same lane index in every later chunk (NaN initial
+            # guesses never converge)
+            good = ok[:, None] & jnp.all(jnp.isfinite(u), axis=1, keepdims=True)
+            u_prev = jnp.where(good, u, 0.0)
         chunks.append([m, u, q, z, ok])
         remaining -= b
         if verbose:

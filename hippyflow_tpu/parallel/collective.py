@@ -60,8 +60,10 @@ def initialize_distributed(
                 process_id=process_id,
             )
         except RuntimeError as e:
-            # already-initialized runtimes (repeat calls) are fine
-            if "already" not in str(e).lower():
+            # already-initialized runtimes (repeat calls) are fine; jax's
+            # message is "distributed.initialize should only be called once"
+            msg = str(e).lower()
+            if "already" not in msg and "once" not in msg:
                 raise
     return jax.process_count() > 1
 
@@ -238,6 +240,10 @@ def make_multislice_mesh(n_fem: int = 1) -> Mesh:
         # granule 0 = within-slice (ICI), granule 1 = across slices (DCN):
         # fem must stay within a slice; sample absorbs the cross-slice axis.
         per_slice = len(devs) // num_slices
+        assert per_slice % n_fem == 0, (
+            f"n_fem={n_fem} must divide the per-slice device count "
+            f"{per_slice} (the 'fem' axis cannot straddle a DCN boundary)"
+        )
         dm = mesh_utils.create_hybrid_device_mesh(
             (per_slice // n_fem, n_fem),
             (num_slices, 1),

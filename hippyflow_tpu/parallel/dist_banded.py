@@ -47,7 +47,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.structured import (
-    BlockCyclicFactor,
     _transpose_band,
     factorize_block_cyclic,
 )
@@ -370,11 +369,9 @@ def dist_assemble_band(
     pv = jnp.where((cell_ids_j < 0)[:, :, None], 0.0, vals_e[safe])  # (P,C,e)
     pidx = band_idx[safe]  # (P, C, e) global flat indices
     # local flat index within the shard's (L+1, s, 3s) buffer
-    row_of = pidx // (3 * s * s)
     base = (jnp.arange(n_parts) * L)[:, None, None]
     lidx = pidx - base * (3 * s * s)
     lidx = jnp.where((cell_ids_j < 0)[:, :, None], (L + 1) * 3 * s * s, lidx)
-    del row_of
 
     fwd = [(i, i + 1) for i in range(n_parts - 1)]
 

@@ -64,16 +64,14 @@ def test_pod_training_data_resume(tmp_path):
     )
     os.remove(os.path.join(out, "mq_data.npz"))
 
-    # restart: must resume at sample 3 with a fresh keychain (as a new
-    # process would) and reproduce the clean run exactly
+    # restart in a FRESH instance (as a new process would): per-chunk
+    # deterministic keys mean the resumed run reproduces the clean run
+    # bit-for-bit, with no manual PRNG bookkeeping
     pod2 = make_pod()
-    # advance the keychain past chunk 0 the same way generation would
-    # (one noise block + one control key per chunk)
-    pod2.keychain.normal((3, prior.noise_dim), dtype=prior.mean.dtype)
-    pod2.keychain.next_key()
     m2, q2 = pod2.generate_training_data(out)
     assert m2.shape[0] == 9
-    np.testing.assert_allclose(m2[:3], m_ref[:3], rtol=1e-12)
+    np.testing.assert_allclose(m2, m_ref, rtol=0, atol=0)
+    np.testing.assert_allclose(q2, q_ref, rtol=0, atol=0)
 
 
 def test_as_jacobian_data_resume(tmp_path):
