@@ -80,6 +80,7 @@ def test_dist_solve_matches(nb, s, n_fem):
     )
 
 
+@pytest.mark.slow
 def test_dist_prior_matches_unsharded():
     """StructuredBiLaplacianPrior on a ('sample','fem') mesh: sample,
     Rsolver, R, M ops match the unsharded prior."""
