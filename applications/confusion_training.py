@@ -89,6 +89,13 @@ def main():
     parser.add_argument("--learning_rate", type=float, default=1e-3)
     parser.add_argument("--n_data", type=int, default=0, help="0 = all")
     parser.add_argument("--h1_weight", type=float, default=0.0)
+    parser.add_argument("--optimizer", type=str, default="adamw",
+                        choices=["adamw", "incg"],
+                        help="incg = inexact Newton-CG with line search and "
+                             "rank-20 Hessian preconditioning (the reference "
+                             "hessianlearn fit(), confusion_training.py:191-217)")
+    parser.add_argument("--hessian_low_rank", type=int, default=20)
+    parser.add_argument("--hess_batch_size", type=int, default=16)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--logger_out", type=str, default=None)
     args = parser.parse_args()
@@ -152,6 +159,9 @@ def main():
         learning_rate=args.learning_rate,
         seed=args.seed,
         verbose=True,
+        optimizer=args.optimizer,
+        hessian_low_rank=args.hessian_low_rank,
+        hess_batch_size=args.hess_batch_size,
         **h1_kwargs,
     )
     print(

@@ -23,9 +23,54 @@ import numpy as np
 
 from applications.confusion_training import (
     get_projectors,
-    load_confusion_data as load_helmholtz_data,
     modify_projectors,
 )
+
+
+def load_helmholtz_data(
+    data_dir: str,
+    rescale: bool = False,
+    derivatives: bool = False,
+    n_data: int | None = None,
+):
+    """Load consolidated helmholtz (m, q) data with the reference loader's
+    options (`helmholtz_utilities.py:17-114`): ``n_data`` truncation,
+    ``rescale`` standard-scaling of m and q (zero mean / unit variance per
+    feature, the reference's sklearn `preprocessing.scale`), and
+    ``derivatives`` loading of the Jacobian-SVD bundle.
+
+    Returns (m_data, q_data) or, with ``derivatives=True``, a dict with
+    m_data/q_data plus U_data/sigma_data/V_data when Jsvd_data.npz exists.
+    ``rescale`` with ``derivatives`` raises, as in the reference (scaled
+    data invalidates the stored Jacobians)."""
+    with np.load(os.path.join(data_dir, "mq_data.npz")) as data:
+        m_data, q_data = data["m_data"], data["q_data"]
+    if n_data is not None:
+        m_data, q_data = m_data[:n_data], q_data[:n_data]
+    if rescale:
+        if derivatives:
+            raise NotImplementedError(
+                "rescale with derivative data is not defined: scaling (m, q) "
+                "invalidates the stored Jacobian factors "
+                "(reference helmholtz_utilities.py:109)"
+            )
+
+        def scale(x):
+            sd = x.std(axis=0)
+            return (x - x.mean(axis=0)) / np.where(sd > 0, sd, 1.0)
+
+        m_data, q_data = scale(m_data), scale(q_data)
+    if not derivatives:
+        return m_data, q_data
+    out = {"m_data": m_data, "q_data": q_data}
+    jsvd_path = os.path.join(data_dir, "Jsvd_data.npz")
+    if os.path.exists(jsvd_path):
+        with np.load(jsvd_path) as jsvd:
+            for k in ("U_data", "sigma_data", "V_data"):
+                out[k] = jsvd[k] if n_data is None else jsvd[k][:n_data]
+    else:
+        print("No derivative data".center(80))
+    return out
 
 
 def main():
@@ -41,6 +86,13 @@ def main():
     parser.add_argument("--learning_rate", type=float, default=1e-3)
     parser.add_argument("--n_data", type=int, default=0, help="0 = all")
     parser.add_argument("--h1_weight", type=float, default=0.0)
+    parser.add_argument("--optimizer", type=str, default="adamw",
+                        choices=["adamw", "incg"],
+                        help="incg = inexact Newton-CG with line search and "
+                             "rank-20 Hessian preconditioning (the reference "
+                             "hessianlearn fit(), confusion_training.py:191-217)")
+    parser.add_argument("--hessian_low_rank", type=int, default=20)
+    parser.add_argument("--hess_batch_size", type=int, default=16)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--logger_out", type=str, default=None)
     args = parser.parse_args()
@@ -106,6 +158,9 @@ def main():
         learning_rate=args.learning_rate,
         seed=args.seed,
         verbose=True,
+        optimizer=args.optimizer,
+        hessian_low_rank=args.hessian_low_rank,
+        hess_batch_size=args.hess_batch_size,
         **h1_kwargs,
     )
     print(

@@ -59,6 +59,53 @@ def contiguous_prefix_end(done) -> int:
     return end
 
 
+def prune_stale_chunks(chunk_dir) -> int:
+    """Resume hygiene: delete chunk files beyond the contiguous [0, e)
+    prefix and return e.  The resume loop regenerates everything from the
+    first gap with the CURRENT chunk grid (auto_chunk_size is
+    device-memory-dependent), so chunks past the gap may overlap the new
+    grid; left in place they would be concatenated at compress time,
+    silently duplicating samples."""
+    chunks = DataGenerator._scan_chunks(chunk_dir)
+    end = contiguous_prefix_end(chunks)
+    for a, b, f in chunks:
+        if not (b <= end):
+            os.remove(f)
+    return end
+
+
+def load_chunks_validated(chunk_dir, n: int | None = None) -> dict:
+    """Load and concatenate chunk_*.npz files, asserting they tile [0, end)
+    exactly: each chunk's start must equal the previous end (raise on
+    overlap or gap) and, when ``n`` is given, coverage must reach n.
+    Guards the consolidated artifacts against stale chunks from a resume
+    under a different chunk grid."""
+    chunks = DataGenerator._scan_chunks(chunk_dir)
+    if not chunks:
+        raise FileNotFoundError(f"no chunk files in {chunk_dir}")
+    end = 0
+    for a, b, f in chunks:
+        if a != end or b <= a:
+            kind = "overlap" if a < end else "gap"
+            raise ValueError(
+                f"chunk files do not tile contiguously ({kind} at sample {end}: "
+                f"{os.path.basename(f)} covers [{a}, {b})); a resume under a "
+                "different chunk size left stale chunks — delete "
+                f"{chunk_dir} and regenerate"
+            )
+        end = b
+    if n is not None and end < n:
+        raise ValueError(
+            f"chunk files cover only [0, {end}) of the requested {n} samples"
+        )
+    arrays: dict[str, list] = {}
+    for _, _, f in chunks:
+        with np.load(f) as z:
+            for k in z.files:
+                arrays.setdefault(k, []).append(z[k])
+    return {k: np.concatenate(v) for k, v in arrays.items()}
+
+
 def chunk_keychain(seed: int, tag: int, chunk_start: int) -> KeyChain:
     """Deterministic per-chunk PRNG stream: the chunk starting at sample
     ``chunk_start`` always draws the same noise, independent of process
@@ -122,9 +169,10 @@ class DataGenerator:
         MPhi = jnp.asarray(output_encoder) if output_decoder is not None else None
         Psi = jnp.asarray(input_decoder) if input_decoder is not None else None
 
-        # resume: first gap in the contiguous chunk prefix
-        done = self._scan_chunks(chunk_dir)
-        start = contiguous_prefix_end(done)
+        # resume: first gap in the contiguous chunk prefix (stale chunks
+        # beyond the gap are deleted — they may not align with this run's
+        # chunk grid and would corrupt the compress-time concatenation)
+        start = prune_stale_chunks(chunk_dir)
         t0 = time.time()
         i = start
         while i < n_samples:
@@ -351,14 +399,7 @@ class DataGenerator:
         """Concatenate chunk files into the reference's consolidated npz
         bundles (`dataGenerator.py:495-667`)."""
         chunk_dir = os.path.join(data_dir, "chunks")
-        chunks = self._scan_chunks(chunk_dir)
-        assert chunks, "no data found"
-        arrays: dict[str, list] = {}
-        for _, _, f in chunks:
-            with np.load(f) as z:
-                for k in z.files:
-                    arrays.setdefault(k, []).append(z[k])
-        cat = {k: np.concatenate(v) for k, v in arrays.items()}
+        cat = load_chunks_validated(chunk_dir)
 
         mq_name = "mzq_data.npz" if has_z_data else "mq_data.npz"
         mq = {k: cat[k] for k in ("m_data", "q_data", "z_data") if k in cat}
@@ -408,14 +449,7 @@ class DataGenerator:
         self, data_dir, chunk_dir, derivatives, output_decoder, output_encoder,
         clean_up,
     ):
-        chunks = self._scan_chunks(chunk_dir)
-        assert chunks, "no jacobian data found"
-        arrays: dict[str, list] = {}
-        for _, _, f in chunks:
-            with np.load(f) as z:
-                for k in z.files:
-                    arrays.setdefault(k, []).append(z[k])
-        cat = {k: np.concatenate(v) for k, v in arrays.items()}
+        cat = load_chunks_validated(chunk_dir)
         if derivatives[0]:
             np.savez_compressed(
                 os.path.join(data_dir, "JstarPhi_data.npz"),

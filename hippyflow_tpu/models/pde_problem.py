@@ -86,15 +86,7 @@ class IterativeFactor:
 
         return matvec, rmatvec
 
-    def solve(self, b, trans: bool = False):
-        return self.solve_info(b, trans)[0]
-
-    def solve_info(self, b, trans: bool = False):
-        """Solve and report health: returns (x, rel_res) with rel_res the
-        worst column's ||A x - b|| / ||b||.  BiCGStab can stagnate silently
-        (jax's returns whatever iterate it reached); the explicit residual
-        makes a stagnated incremental solve visible to callers instead of
-        corrupting Jacobians quietly (VERDICT round-1 weak item 5)."""
+    def _solve_raw(self, b, trans: bool):
         matvec, rmatvec = self._actions()
         op = rmatvec if trans else matvec
         Minv = 1.0 / self.diag
@@ -106,13 +98,27 @@ class IterativeFactor:
             )
             return x
 
+        x = one(b) if b.ndim == 1 else jax.vmap(one, in_axes=1, out_axes=1)(b)
+        return x, op
+
+    def solve(self, b, trans: bool = False):
+        """Residual-free solve — callers that discard the health metric
+        (Newton steps, Jacobian materialization) skip the extra operator
+        application solve_info pays per column."""
+        return self._solve_raw(b, trans)[0]
+
+    def solve_info(self, b, trans: bool = False):
+        """Solve and report health: returns (x, rel_res) with rel_res the
+        worst column's ||A x - b|| / ||b||.  BiCGStab can stagnate silently
+        (jax's returns whatever iterate it reached); the explicit residual
+        makes a stagnated incremental solve visible to callers instead of
+        corrupting Jacobians quietly (VERDICT round-1 weak item 5)."""
+        x, op = self._solve_raw(b, trans)
         if b.ndim == 1:
-            x = one(b)
             rel = jnp.linalg.norm(op(x) - b) / jnp.maximum(
                 jnp.linalg.norm(b), jnp.finfo(b.dtype).tiny
             )
             return x, rel
-        x = jax.vmap(one, in_axes=1, out_axes=1)(b)
         res = jax.vmap(
             lambda xc, bc: jnp.linalg.norm(op(xc) - bc), in_axes=(1, 1)
         )(x, b)

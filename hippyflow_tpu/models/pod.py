@@ -144,8 +144,6 @@ class PODProjector:
         (`PODProjector.py:147-186`): finished chunks persist under
         ``<output_directory>/chunks_pod/`` and a killed run restarts at the
         first missing chunk, not from zero."""
-        from .data_generator import DataGenerator
-
         t0 = time.time()
         os.makedirs(output_directory, exist_ok=True)
         n = n_data or self.parameters["data_per_process"]
@@ -166,10 +164,16 @@ class PODProjector:
             self.prior.mean.dtype,
             problem=self.observable.problem,
         )
-        from .data_generator import chunk_keychain, contiguous_prefix_end
+        from .data_generator import (
+            chunk_keychain,
+            load_chunks_validated,
+            prune_stale_chunks,
+        )
 
-        done = DataGenerator._scan_chunks(chunk_dir) if check_for_data else []
-        i = contiguous_prefix_end(done)
+        # resume at the first gap; stale chunks beyond it (possibly from a
+        # different chunk grid) are deleted so the final concatenation
+        # cannot duplicate samples
+        i = prune_stale_chunks(chunk_dir) if check_for_data else 0
         if i > 0 and self.parameters["verbose"]:
             print(f"resuming training-data generation at sample {i}")
         while i < n:
@@ -195,12 +199,7 @@ class PODProjector:
             np.savez(os.path.join(chunk_dir, f"chunk_{i}_{i + b}.npz"), **payload)
             i += b
 
-        arrays: dict[str, list] = {}
-        for _, _, f in DataGenerator._scan_chunks(chunk_dir):
-            with np.load(f) as z:
-                for k in z.files:
-                    arrays.setdefault(k, []).append(z[k])
-        cat = {k: np.concatenate(v)[:n] for k, v in arrays.items()}
+        cat = {k: v[:n] for k, v in load_chunks_validated(chunk_dir, n).items()}
         np.savez_compressed(out_path, **cat)
         import shutil
 

@@ -123,7 +123,15 @@ def sample_until_solved(
     `dataGenerator.py:31,132-135`) warm-starts each chunk's Newton solves
     from the previous chunk's converged states lane-by-lane — typically
     saving 1-2 Newton iterations per sample; ``True`` cold-starts every
-    solve from zero.
+    solve from zero.  Scope note: warm starting applies only WITHIN one
+    ``sample_until_solved`` call (multiple internal chunks).  The
+    chunk-resumable drivers (`DataGenerator.generate`,
+    `PODProjector.generate_training_data`) issue one call per on-disk
+    chunk and deliberately cold-start each: chunk files persist only
+    (m, q[, z]), so carrying Newton states across resumable chunks would
+    make a resumed run's iterates (and hence the stored states) differ
+    bitwise from an uninterrupted run, breaking the bit-exact resume
+    guarantee tested in `tests/test_resume_health.py`.
 
     With a DeviceCollective, each chunk's noise is sharded over the
     collective's 'sample' mesh axis before the batched solve, so the Newton

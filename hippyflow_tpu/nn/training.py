@@ -90,12 +90,29 @@ def train(
     seed: int = 0,
     frozen_prefixes: tuple = (),
     verbose: bool = False,
+    optimizer: str = "adamw",
+    cg_iters: int = 20,
+    hess_batch_size: int = 16,
+    hessian_low_rank: int = 20,
+    incg_damping: float = 1e-3,
 ):
     """Train a flax surrogate; returns (params, logger dict).
 
     The logger mirrors hessianlearn's `_logger` payload persisted by the
     multirun sweeps (`confusion_multirun.py:99-147`): per-epoch train/val
-    accuracy and loss.
+    accuracy and loss (plus ||g|| for the second-order path).
+
+    optimizer='adamw' (default) is first-order optax; optimizer='incg' is
+    the hessianlearn-parity second-order path
+    (`confusion_training.py:191-217`): per batch, an inexact Newton step
+    solves (H_GN + damping I) dp = -g by matrix-free CG (Gauss-Newton
+    products through the network on a smaller ``hess_batch_size`` subsample,
+    hessianlearn's hess_batch), preconditioned by a rank-
+    ``hessian_low_rank`` randomized eigendecomposition of H_GN refreshed
+    each sweep (hessianlearn's `hessian_low_rank=20` LowRankSaddleFreeNewton
+    -style preconditioner), globalized by an Armijo backtracking line
+    search.  With an h1 term the gradient includes it; curvature is
+    Gauss-Newton on the l2 residual only.
     """
     m_data = jnp.asarray(m_data)
     q_data = jnp.asarray(q_data)
@@ -120,6 +137,24 @@ def train(
         if h1 is not None:
             loss = loss + h1_weight * h1(p, mb, jb)
         return loss
+
+    if optimizer == "incg":
+        return _fit_incg(
+            model, apply_fn, params, total_loss, m_data, q_data,
+            JstarPhi_data if h1 is not None else None,
+            tr, va, n_val,
+            l2_weight=l2_weight,
+            batch_size=batch_size,
+            epochs=epochs,
+            seed=seed,
+            frozen_prefixes=frozen_prefixes,
+            verbose=verbose,
+            cg_iters=cg_iters,
+            hess_batch_size=hess_batch_size,
+            hessian_low_rank=hessian_low_rank,
+            damping=incg_damping,
+        )
+    assert optimizer == "adamw", f"unknown optimizer {optimizer!r}"
 
     tx = optax.adamw(learning_rate, weight_decay=weight_decay)
     if frozen_prefixes:
@@ -169,6 +204,146 @@ def train(
                 f"train_acc {tr_acc:.4f} val_acc {va_acc:.4f}"
             )
     return params, logger
+
+
+def _frozen_flat_mask(params, frozen_prefixes, flat):
+    """(nflat,) 0/1 mask over the raveled parameter vector: 0 on frozen
+    subtrees (keras trainable=False analog)."""
+    if not frozen_prefixes:
+        return jnp.ones_like(flat)
+
+    def mark(path, leaf):
+        name = "/".join(str(k.key) for k in path if hasattr(k, "key"))
+        keep = not any(name.startswith(fp) for fp in frozen_prefixes)
+        return jnp.full(jnp.shape(leaf), 1.0 if keep else 0.0, dtype=flat.dtype)
+
+    mask_tree = jax.tree_util.tree_map_with_path(mark, params)
+    return jax.flatten_util.ravel_pytree(mask_tree)[0]
+
+
+def _fit_incg(
+    model, apply_fn, params, total_loss, m_data, q_data, J_data,
+    tr, va, n_val, *, l2_weight, batch_size, epochs, seed, frozen_prefixes,
+    verbose, cg_iters, hess_batch_size, hessian_low_rank, damping,
+):
+    """Inexact Newton-CG fit loop (hessianlearn `HessianlearnModel.fit()`
+    with optimizer 'incg', reference
+    `applications/confusion/dipnet_paper/confusion_training.py:191-217`).
+
+    Per step: gradient of the full loss on the batch; CG on the damped
+    Gauss-Newton system restricted to trainable coordinates, with GN
+    products on a ``hess_batch_size`` subsample; low-rank preconditioner
+    (randomized rank-k eigendecomposition of H_GN, refreshed per sweep);
+    Armijo backtracking ladder."""
+    import jax.flatten_util
+
+    flat, unravel = jax.flatten_util.ravel_pytree(params)
+    mask = _frozen_flat_mask(params, frozen_prefixes, flat)
+    n_train = tr.shape[0]
+    hb = min(hess_batch_size, batch_size)
+    n_ls = 10
+    alphas = jnp.power(0.5, jnp.arange(n_ls, dtype=flat.dtype))
+
+    def loss_flat(w, mb, qb, jb):
+        return total_loss(unravel(w), mb, qb, jb)
+
+    def scaled_resid(w, hm, hq):
+        # 0.5||r_s||^2 == l2_weight * mean_i ||f - q||^2 on the hess batch
+        r = (apply_fn(unravel(w), hm) - hq).ravel()
+        return r * jnp.sqrt(2.0 * l2_weight / hm.shape[0])
+
+    def gn_matvec_factory(w, hm, hq):
+        _, jvp_lin = jax.linearize(lambda wv: scaled_resid(wv, hm, hq), w)
+        _, vjp = jax.vjp(lambda wv: scaled_resid(wv, hm, hq), w)
+
+        def mv(v):
+            return mask * vjp(jvp_lin(mask * v))[0] + damping * v
+
+        return mv
+
+    @jax.jit
+    def refresh_preconditioner(w, hm, hq, Omega):
+        """Rank-k randomized eigendecomposition of the (masked) GN Hessian:
+        one-pass Nystrom-free HEP on Y = H Omega, Q = qr(Y), T = Q^T H Q."""
+        mv = gn_matvec_factory(w, hm, hq)
+        Y = jax.vmap(mv, in_axes=1, out_axes=1)(Omega)
+        Q, _ = jnp.linalg.qr(Y)
+        HQ = jax.vmap(mv, in_axes=1, out_axes=1)(Q)
+        T = Q.T @ HQ
+        d, S = jnp.linalg.eigh(0.5 * (T + T.T))
+        k = min(hessian_low_rank, d.shape[0])
+        d, S = d[::-1][:k], S[:, ::-1][:, :k]
+        return Q @ S, d  # (nflat, k), (k,)
+
+    @jax.jit
+    def incg_step(w, mb, qb, jb, U, dprec):
+        g = mask * jax.grad(loss_flat)(w, mb, qb, jb)
+        mv = gn_matvec_factory(w, mb[:hb], qb[:hb])
+
+        def precon(v):
+            # (U diag(d) U^T + damping-complement)^{-1} v
+            c = U.T @ v
+            return v / damping + U @ (c / jnp.maximum(dprec, damping) - c / damping)
+
+        dp, _ = jax.scipy.sparse.linalg.cg(
+            mv, -g, M=precon, maxiter=cg_iters
+        )
+        dp = mask * dp
+        base = loss_flat(w, mb, qb, jb)
+        gTd = jnp.vdot(g, dp)
+        ls = jax.vmap(lambda a: loss_flat(w + a * dp, mb, qb, jb))(alphas)
+        ok = ls <= base + 1e-4 * alphas * gTd
+        idx = jnp.where(ok.any(), jnp.argmax(ok), jnp.argmin(ls))
+        take = ls[idx] < base
+        w_new = jnp.where(take, w + alphas[idx] * dp, w)
+        return w_new, base, jnp.linalg.norm(g)
+
+    logger = {
+        "train_acc": [], "val_acc": [], "loss": [], "epoch_time": [],
+        "gnorm": [], "optimizer": "incg",
+    }
+    steps_per_epoch = max(1, n_train // batch_size)
+    rng = np.random.RandomState(seed)
+    key = jax.random.PRNGKey(seed + 2)
+    k_probe = min(hessian_low_rank + 5, flat.shape[0])
+    for epoch in range(epochs):
+        t0 = time.time()
+        order = rng.permutation(n_train)
+        # refresh the low-rank preconditioner once per sweep
+        hb_idx = tr[order[:hb]]
+        Omega = jax.random.normal(
+            jax.random.fold_in(key, epoch), (flat.shape[0], k_probe),
+            dtype=flat.dtype,
+        )
+        U, dprec = refresh_preconditioner(
+            flat, m_data[hb_idx], q_data[hb_idx], Omega
+        )
+        last_loss, gnorm = None, None
+        for s_idx in range(steps_per_epoch):
+            idx = tr[order[s_idx * batch_size : (s_idx + 1) * batch_size]]
+            jb = J_data[idx] if J_data is not None else None
+            flat, last_loss, gnorm = incg_step(
+                flat, m_data[idx], q_data[idx], jb, U, dprec
+            )
+        params = unravel(flat)
+        tr_acc = float(accuracy(apply_fn, params, m_data[tr], q_data[tr]))
+        va_acc = (
+            float(accuracy(apply_fn, params, m_data[va], q_data[va]))
+            if n_val
+            else float("nan")
+        )
+        logger["train_acc"].append(tr_acc)
+        logger["val_acc"].append(va_acc)
+        logger["loss"].append(float(last_loss))
+        logger["gnorm"].append(float(gnorm))
+        logger["epoch_time"].append(time.time() - t0)
+        if verbose and (epoch % 10 == 0 or epoch == epochs - 1):
+            print(
+                f"incg sweep {epoch:4d} loss {float(last_loss):.4e} "
+                f"||g|| {float(gnorm):.3e} train_acc {tr_acc:.4f} "
+                f"val_acc {va_acc:.4f}"
+            )
+    return unravel(flat), logger
 
 
 def gauss_newton_cg_step(

@@ -107,17 +107,25 @@ def _auto_tile(s: int, itemsize: int) -> int:
 def batched_inverse(X, force: str | None = None):
     """Inverses of a batch of small square matrices: (N, s, s) -> (N, s, s).
 
-    On TPU uses the Pallas Gauss-Jordan kernel (no pivoting — see module
-    docstring); elsewhere (or with force='xla') falls back to
-    ``jnp.linalg.inv``.  force='pallas' runs the kernel in interpret mode on
-    non-TPU backends (tests)."""
+    On TPU uses the BLOCKED Pallas Gauss-Jordan kernel (rank-13 MXU updates;
+    no pivoting — see module docstring).  Chain-timed on v5e at
+    (8192, 65, 65) f32: blocked 15.1 ms vs rank-1 761.7 ms vs XLA LU
+    183.9 ms (benchmarks/probe_cr.py; the earlier 48 ms rank-1 figure was a
+    memoized-dispatch artifact).  Elsewhere (or with force='xla') falls back
+    to ``jnp.linalg.inv``.  force='pallas'/'pallas_rank1' run the kernels in
+    interpret mode on non-TPU backends (tests)."""
     X = jnp.asarray(X)
     N, s, s2 = X.shape
     assert s == s2, "square matrices required"
     backend = jax.default_backend()
-    use_pallas = force == "pallas" or (force is None and backend == "tpu" and s <= 256)
+    use_pallas = force in ("pallas", "pallas_rank1") or (
+        force is None and backend == "tpu" and s <= 256
+    )
     if not use_pallas:
         return jnp.linalg.inv(X)
+    # cap the tile at the (pow2-padded) batch so deep cyclic-reduction
+    # levels (N = 16, 8, ... 1) don't pad to a full 32-wide tile
+    tile = min(_auto_tile(s, X.dtype.itemsize), 1 << max(N - 1, 0).bit_length())
     if backend != "tpu":  # interpret-mode path for tests
         from jax.experimental import pallas as pl
 
@@ -126,8 +134,12 @@ def batched_inverse(X, force: str | None = None):
         if n_pad:
             eye = jnp.broadcast_to(jnp.eye(s, dtype=X.dtype), (n_pad, s, s))
             X = jnp.concatenate([X, eye], axis=0)
+        kernel = (
+            _gj_kernel if force == "pallas_rank1"
+            else _gj_blocked_kernel_factory(13)
+        )
         out = pl.pallas_call(
-            _gj_kernel,
+            kernel,
             out_shape=jax.ShapeDtypeStruct(X.shape, X.dtype),
             grid=(X.shape[0] // tile,),
             in_specs=[pl.BlockSpec((tile, s, s), lambda i: (i, 0, 0))],
@@ -135,7 +147,9 @@ def batched_inverse(X, force: str | None = None):
             interpret=True,
         )(X)
         return out[: N]
-    return _batched_inverse_pallas(X, _auto_tile(s, X.dtype.itemsize))
+    if force == "pallas_rank1":
+        return _batched_inverse_pallas(X, tile)
+    return _batched_inverse_blocked(X, tile, 13)
 
 
 def _small_gj_inverse(App):
@@ -205,7 +219,7 @@ def _gj_blocked_kernel_factory(bs: int):
             return jax.lax.dot_general(
                 x, y,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=x.dtype,  # f32 accum (f64 on CPU tests)
             )
 
         def body(aug_ref):

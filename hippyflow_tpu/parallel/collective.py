@@ -77,7 +77,7 @@ class NullCollective:
     def rank(self) -> int:
         return 0
 
-    def allReduce(self, v, op: str = "avg"):
+    def allReduce(self, v, op: str = "avg", replicated: bool | None = None):
         assert op in ("sum", "avg")
         return v
 
@@ -115,7 +115,14 @@ class DeviceCollective:
         return self.mesh.shape[self.axis]
 
     def rank(self) -> int:
-        # Single-controller SPMD: rank is only meaningful per-process.
+        """Process index, NOT a per-device position along the mesh axis.
+
+        Under single-controller SPMD there is no per-rank code divergence
+        (all devices run one program), so the MPI notion of "my rank" maps
+        to the host process: 0 in single-process runs, the jax process
+        index under `initialize_distributed()`.  Use it the way the
+        reference uses `comm.rank` — gating I/O and logging to one writer —
+        not for splitting data (sharding does that)."""
         return jax.process_index()
 
     # --- real reductions ----------------------------------------------------
@@ -143,16 +150,29 @@ class DeviceCollective:
         )(self.shard_samples(v))
         return out / v.shape[0] if mean else out
 
-    def allReduce(self, v, op: str = "avg"):
-        """MPI-allReduce analog.  An array with a leading contributions axis
-        (length divisible by the collective size) is reduced over that axis
-        with a shard_map psum; a scalar / non-divisible array is treated as
-        already replicated (every "rank" holds the same value), so 'avg' is
-        the identity and 'sum' scales by the collective size, matching the
-        MPI result for replicated inputs."""
+    def allReduce(self, v, op: str = "avg", replicated: bool | None = None):
+        """MPI-allReduce analog (reference `collective.py:61-71`).
+
+        * array with a leading contributions axis divisible by the
+          collective size -> reduced over that axis with a shard_map psum;
+        * scalar, or ``replicated=True`` -> every "rank" holds the same
+          value by SPMD construction, so 'avg' is the identity and 'sum'
+          scales by the collective size (the MPI result for replicated
+          inputs);
+        * non-divisible array without ``replicated=True`` -> ValueError.
+          MPI's Allreduce has no silent mode and neither does this: a
+          genuine per-contribution array that doesn't tile the collective
+          cannot be reduced correctly, and guessing "replicated" here
+          would return it unreduced."""
         assert op in ("sum", "avg")
-        if jnp.ndim(v) == 0 or not self._divisible(v):
+        if replicated or jnp.ndim(v) == 0:
             return v * self.size() if op == "sum" else v
+        if not self._divisible(v):
+            raise ValueError(
+                f"allReduce: leading axis {jnp.shape(v)[0]} is not divisible "
+                f"by the collective size {self.size()}; pass replicated=True "
+                "if every device holds the same (already-reduced) value"
+            )
         return self.psum_contributions(v, mean=(op == "avg"))
 
     def bcast(self, v, root: int = 0):
@@ -188,16 +208,21 @@ class CollectiveOperator:
     The wrapped op either returns per-contribution results with a leading
     axis matching the collective size (reduced here with a real psum/pmean)
     or an already-reduced replicated array (sample-sharded inputs whose
-    reduction XLA emitted inside the op), for which allReduce('avg') is the
-    identity by construction."""
+    reduction XLA emitted inside the op) — declare the latter with
+    ``replicated=True``, for which allReduce('avg') is the identity by
+    construction."""
 
-    def __init__(self, op, collective, mpi_op: str = "avg"):
+    def __init__(self, op, collective, mpi_op: str = "avg",
+                 replicated: bool | None = None):
         self.op = op if callable(op) else op.matmat
         self.collective = collective
         self.mpi_op = mpi_op
+        self.replicated = replicated
 
     def matmat(self, X):
-        return self.collective.allReduce(self.op(X), self.mpi_op)
+        return self.collective.allReduce(
+            self.op(X), self.mpi_op, replicated=self.replicated
+        )
 
     mult = matmat  # reference naming
     __call__ = matmat

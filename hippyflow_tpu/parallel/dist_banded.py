@@ -275,8 +275,13 @@ def factorize_distributed_banded(
 
 
 def place_on_mesh(factor, mesh: Mesh, axis: str = "fem", sample_axis: str | None = None):
-    """Pin every per-partition leaf (partition axis = ``n_parts``) to
-    ``axis`` and replicate the small reduced-system factors.
+    """Pin every per-partition leaf to ``axis`` and replicate the small
+    reduced-system factors.
+
+    Placement is STRUCTURAL, not shape-based: each `_SpikeSide` declares
+    which of its leaves carry the partition axis (local_fac/W/V) and which
+    are replicated (R_lu/R_piv), so a future leaf whose leading dimension
+    coincidentally equals n_parts can never be mis-sharded.
 
     With ``sample_axis`` the factor is a BATCH of per-sample factors (built
     with ``jax.vmap(factorize_distributed_banded)``): the leading sample
@@ -284,29 +289,30 @@ def place_on_mesh(factor, mesh: Mesh, axis: str = "fem", sample_axis: str | None
     over ``axis`` — the full 2D grid composition of sample x domain
     parallelism (reference strategy #3, `splitCommunicators`,
     `comm_utils.py:19-40`).  Returns a new pytree."""
-    n_parts = mesh.shape[axis]
+    assert isinstance(factor, DistributedBandedFactor), (
+        "place_on_mesh expects a DistributedBandedFactor"
+    )
+    lead = () if sample_axis is None else (sample_axis,)
 
-    def place(leaf):
-        if leaf is None:
-            return None
-        nd = jnp.ndim(leaf)
-        if (
-            sample_axis is not None
-            and nd >= 2
-            and leaf.shape[1] == n_parts
-        ):
-            spec = P(sample_axis, axis, *([None] * (nd - 2)))
-        elif sample_axis is not None and nd >= 1:
-            # small replicated-per-sample pieces (reduced-system factors):
-            # shard the sample axis only
-            spec = P(sample_axis, *([None] * (nd - 1)))
-        elif nd >= 1 and leaf.shape[0] == n_parts:
-            spec = P(axis, *([None] * (nd - 1)))
-        else:
-            spec = P()
+    def put(leaf, partitioned: bool):
+        head = lead + ((axis,) if partitioned else ())
+        spec = P(*head, *([None] * (jnp.ndim(leaf) - len(head))))
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-    return jax.tree_util.tree_map(place, factor)
+    def place_side(side):
+        if side is None:
+            return None
+        return _SpikeSide(
+            jax.tree_util.tree_map(lambda l: put(l, True), side.local_fac),
+            put(side.W, True),
+            put(side.V, True),
+            put(side.R_lu, False),
+            put(side.R_piv, False),
+        )
+
+    return DistributedBandedFactor(
+        place_side(factor.fwd), place_side(factor.adj), factor.n, factor.s
+    )
 
 
 # ---------------------------------------------------------------------------
