@@ -230,15 +230,27 @@ def _cr_reduce(a, d, b):
     bp1 = _pad_back(b_odd, zero)[:n_even]
 
     a_e, d_e, b_e = a[0::2], d[0::2], b[0::2]
-    alpha = jnp.einsum("kij,kjl->kil", a_e, Dm1)
-    beta = jnp.einsum("kij,kjl->kil", b_e, Dp1)
-    d_new = (
-        d_e
-        - jnp.einsum("kij,kjl->kil", alpha, bm1)
-        - jnp.einsum("kij,kjl->kil", beta, ap1)
+    # Fused-matmul schedule: the textbook form is 6 batched (s,s,s) matmuls
+    # (alpha, beta, two for d', a', b').  Batch-stacking the alpha/beta and
+    # a'/b' pairs and contraction-merging the two d' products yields 3
+    # dispatches, one with contraction depth 2s (>= the 128-lane MXU depth
+    # at s=65) — fewer passes over HBM and better systolic-array fill.
+    n_e = a_e.shape[0]
+    ab = jnp.einsum(
+        "kij,kjl->kil",
+        jnp.concatenate([a_e, b_e], axis=0),
+        jnp.concatenate([Dm1, Dp1], axis=0),
+    )  # (2k, s, s) = [alpha; beta]
+    alpha, beta = ab[:n_e], ab[n_e:]
+    d_new = d_e - jnp.einsum(
+        "kij,kjl->kil",
+        jnp.concatenate([alpha, beta], axis=2),  # (k, s, 2s)
+        jnp.concatenate([bm1, ap1], axis=1),  # (k, 2s, s)
     )
-    a_new = -jnp.einsum("kij,kjl->kil", alpha, am1)
-    b_new = -jnp.einsum("kij,kjl->kil", beta, bp1)
+    ab2 = jnp.einsum(
+        "kij,kjl->kil", ab, jnp.concatenate([am1, bp1], axis=0)
+    )
+    a_new, b_new = -ab2[:n_e], -ab2[n_e:]
     level = _CRLevel(
         Dinv_odd=Dinv_odd, alpha=alpha, beta=beta, a_odd=a_odd, b_odd=b_odd
     )

