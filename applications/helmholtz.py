@@ -142,6 +142,7 @@ def helmholtz_linear_observable(
     box=BOX,
     box_pml=BOX_PML,
     state_degree: int = 2,
+    **pde_kwargs,
 ):
     """Build the Helmholtz observable (reference
     `helmholtz_linear_observable.py:30-96`).
@@ -176,6 +177,7 @@ def helmholtz_linear_observable(
         bc,
         is_fwd_linear=True,
         rhs_vector=rhs,
+        **pde_kwargs,
     )
 
     obs_length = 0.2

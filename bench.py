@@ -62,8 +62,12 @@ BASELINE_SAMPLES = int(os.environ.get("BENCH_BASELINE_SAMPLES", 16))
 MPI_RANKS = 8
 NX192 = os.environ.get("BENCH_NX192", "1") == "1"
 NX192_NX = 192
-NX192_SAMPLES = int(os.environ.get("BENCH_NX192_SAMPLES", 64))
-NX192_RANK = int(os.environ.get("BENCH_NX192_RANK", 32))
+# reference experiment scale (`generate_confusion.py:20-26`: rank 128,
+# 512 samples/process x 4 ranks); the lane runs rank 128 x 256 samples
+NX192_SAMPLES = int(os.environ.get("BENCH_NX192_SAMPLES", 256))
+NX192_RANK = int(os.environ.get("BENCH_NX192_RANK", 128))
+NX192_BASELINE_SAMPLES = int(os.environ.get("BENCH_NX192_BASELINE_SAMPLES", 2))
+BASELINE192_CACHE = os.path.join(BENCH_DIR, "baseline_nx192.json")
 
 
 def log(*a):
@@ -291,6 +295,76 @@ def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str,
     return elapsed, first_run, np.asarray(d), mfu, stages
 
 
+def run_helmholtz_lane():
+    """Second-application lane (VERDICT r2 item 7): helmholtz at the
+    reference experiment scale — 600 Hz, nx=64, AS rank 128, 32 samples,
+    split real/imaginary P2 state (`helmholtz_problem_setup.py:42-55`).
+    The 26574-dof state solves through the interleaved ordered band
+    (fem/band_order.py); the dense path cannot even LU-factorize on TPU.
+    Returns (elapsed, first_run, stages)."""
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import numpy as np
+
+    from applications.helmholtz import helmholtz_linear_observable, helmholtz_prior
+    from hippyflow_tpu.models import (
+        ActiveSubspaceParameterList,
+        ActiveSubspaceProjector,
+    )
+
+    nx = int(os.environ.get("BENCH_HELM_NX", 64))
+    n_samples = int(os.environ.get("BENCH_HELM_SAMPLES", 32))
+    rank = int(os.environ.get("BENCH_HELM_RANK", 128))
+    obs, Vh = helmholtz_linear_observable(nx=nx, frequency=600.0)
+    prior = helmholtz_prior(Vh)
+    log(
+        f"helmholtz lane: nx={nx} state={obs.problem.state_dim} "
+        f"s={obs.problem._block_size} dM={Vh.dim} dQ={obs.dQ}"
+    )
+
+    def make():
+        params = ActiveSubspaceParameterList()
+        params["rank"] = rank
+        params["oversampling"] = OVERSAMPLING
+        params["samples_per_process"] = n_samples
+        params["verbose"] = True
+        return ActiveSubspaceProjector(obs, prior, parameters=params)
+
+    t0 = time.time()
+    warm = make()
+    d_w, _, _ = warm.construct_input_subspace(prior_preconditioned=True)
+    jax.block_until_ready(d_w)
+    first_run = time.time() - t0
+    log(f"helmholtz warmup done in {first_run:.1f}s")
+    del warm
+    import gc
+
+    gc.collect()
+
+    proj = make()
+    stages = {}
+    t_start = time.time()
+    proj._ensure_samples()
+    jax.block_until_ready(proj.samples.us)
+    stages["forward_s"] = time.time() - t_start
+    t2 = time.time()
+    d, dec, enc = proj.construct_input_subspace(prior_preconditioned=True)
+    jax.block_until_ready(proj.Js)
+    stages["jacobian_s"] = time.time() - t2
+    t3 = time.time()
+    jax.block_until_ready(d)
+    stages["ghep_s"] = time.time() - t3
+    elapsed = time.time() - t_start
+    stages = {k: round(v, 3) for k, v in stages.items()}
+    log(
+        f"helmholtz nx={nx}: {elapsed:.2f}s stages={stages} "
+        f"d[:4]={np.asarray(d[:4])}"
+    )
+    assert np.isfinite(np.asarray(d)).all(), "helmholtz spectrum not finite"
+    return elapsed, first_run, stages
+
+
 # ---------------------------------------------------------------------------
 # CPU reference baseline (runs in a subprocess on the CPU backend)
 # ---------------------------------------------------------------------------
@@ -433,6 +507,176 @@ def run_baseline_worker(nx: int, n_samples: int, rank: int,
     return {"seconds": elapsed}
 
 
+def _band_to_csr(band, s: int):
+    """scipy CSR from (nb, s, 3s) block-tridiagonal band storage."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    band = np.asarray(band)
+    nb = band.shape[0]
+    rows, cols, vals = [], [], []
+    j = np.arange(nb)
+    ii = np.arange(s)
+    for o in range(3):
+        valid = (j + o - 1 >= 0) & (j + o - 1 < nb)
+        bj = j[valid]
+        blk = band[bj][:, :, o * s : (o + 1) * s]  # (nv, s, s)
+        r = bj[:, None, None] * s + ii[None, :, None] + 0 * ii[None, None, :]
+        c = (bj + o - 1)[:, None, None] * s + ii[None, None, :] + 0 * ii[None, :, None]
+        nz = blk != 0.0
+        rows.append(np.broadcast_to(r, blk.shape)[nz])
+        cols.append(np.broadcast_to(c, blk.shape)[nz])
+        vals.append(blk[nz])
+    n = nb * s
+    return sp.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n, n),
+    )
+
+
+def run_baseline192_worker(n_samples: int, rank: int) -> dict:
+    """Measured CPU baseline point for the nx=192 lane (VERDICT r2 item 5).
+
+    Reference-style execution at nx=192: serial sample loop, scipy superLU
+    on the (sparse, banded-assembled) operator, per-probe-column incremental
+    J/J^T solves inside doublePassG.  The dense-assembly nx=64 worker cannot
+    run here (a 37249^2 dense A is 11 GB); C actions are matrix-free jvp/vjp
+    (fewer flops than the reference's assembled C — generous to the
+    baseline)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from applications.confusion import confusion_linear_observable, confusion_prior
+    from hippyflow_tpu.fem import bc_symmetrize_banded_from_mask
+
+    vel = np.load(ns_velocity_path(NX192_NX))
+    obs, Vh = confusion_linear_observable(nx=NX192_NX, velocity=vel)
+    prior = confusion_prior(Vh)
+    problem = obs.problem
+    n = Vh.dim
+    s = problem._block_size
+    nvec = rank + OVERSAMPLING
+
+    res_fn = jax.jit(problem.residual_masked)
+    band_fn = jax.jit(
+        lambda u, m: bc_symmetrize_banded_from_mask(
+            problem.bound.assemble_A_banded(u, m, None, s), problem.bc
+        )
+    )
+    C_mv = jax.jit(
+        lambda u, m, x: jax.jvp(
+            lambda mm: problem.residual_masked(u, mm, None), (m,), (x,)
+        )[1]
+    )
+    Ct_mv = jax.jit(
+        lambda u, m, y: jax.vjp(
+            lambda mm: problem.residual_masked(u, mm, None), m
+        )[1](y)[0]
+    )
+    Bd = np.asarray(obs.B.dense())
+    sample_fn = jax.jit(prior.sample)
+    Rmm = jax.jit(prior.R_matmat)
+    Rsolve = jax.jit(prior.Rsolver_matmat)
+    zeros = jnp.zeros(n)
+    # warm the jits (reference compiles FFC forms up front too)
+    res_fn(zeros, zeros, None)
+    band_fn(zeros, zeros)
+    C_mv(zeros, zeros, zeros)
+    Ct_mv(zeros, zeros, zeros)
+    np.asarray(sample_fn(np.zeros(n)))
+
+    rng = np.random.RandomState(1)
+    t0 = time.time()
+    factors, lin_pts = [], []
+    for i in range(n_samples):
+        m = np.asarray(sample_fn(jnp.asarray(rng.randn(n))))
+        m_j = jnp.asarray(m)
+        u = np.zeros(n)
+        for it in range(25):
+            r = np.asarray(res_fn(jnp.asarray(u), m_j, None))
+            rn = np.linalg.norm(r)
+            if it == 0:
+                tol = 1e-12 + 1e-9 * rn
+            if rn <= tol:
+                break
+            lu = spla.splu(sp.csc_matrix(_band_to_csr(band_fn(jnp.asarray(u), m_j), s)))
+            du = -lu.solve(r)
+            alpha = 1.0
+            for _ in range(8):
+                rn_new = np.linalg.norm(
+                    np.asarray(res_fn(jnp.asarray(u + alpha * du), m_j, None))
+                )
+                if rn_new < (1 - 1e-4 * alpha) * rn:
+                    break
+                alpha *= 0.5
+            u = u + alpha * du
+        factors.append(
+            spla.splu(sp.csc_matrix(_band_to_csr(band_fn(jnp.asarray(u), m_j), s)))
+        )
+        lin_pts.append((jnp.asarray(u), m_j))
+        log(f"  baseline192 sample {i + 1}/{n_samples}")
+
+    def avg_JTJ(X):
+        Y = np.zeros_like(X)
+        for (u, m), lu in zip(lin_pts, factors):
+            for j in range(X.shape[1]):
+                uhat = lu.solve(np.asarray(C_mv(u, m, jnp.asarray(X[:, j]))))
+                q = Bd @ uhat
+                phat = lu.solve(Bd.T @ q, trans="T")
+                Y[:, j] += np.asarray(Ct_mv(u, m, jnp.asarray(phat)))
+        return Y / len(factors)
+
+    Omega = rng.randn(n, nvec)
+    Ybar = avg_JTJ(Omega)
+    Q = np.asarray(Rsolve(jnp.asarray(Ybar)))
+    W = np.asarray(Rmm(jnp.asarray(Q)))
+    G = Q.T @ W
+    # eigh-based B-orthonormalization: at 2 measured samples the averaged
+    # GN operator is effectively low-rank, so plain CholQR breaks down;
+    # same flop class, timing stays honest
+    lam, V = np.linalg.eigh(0.5 * (G + G.T))
+    keep = lam > lam.max() * 1e-12
+    Q = Q @ (V[:, keep] / np.sqrt(lam[keep]))
+    AQ = avg_JTJ(Q)
+    T = Q.T @ AQ
+    np.linalg.eigvalsh(0.5 * (T + T.T))
+    elapsed = time.time() - t0
+    log(f"baseline192 ({n_samples} samples, serial 1-core): {elapsed:.2f}s")
+    return {"seconds": elapsed}
+
+
+def get_baseline192() -> dict:
+    if os.path.exists(BASELINE192_CACHE):
+        with open(BASELINE192_CACHE) as f:
+            return json.load(f)
+    get_ns_velocity(NX192_NX)
+    log(f"measuring nx192 CPU baseline at {NX192_BASELINE_SAMPLES} samples ...")
+    measured = _subprocess_cpu(
+        ["--baseline192-worker"], timeout=7200
+    )
+    per_sample = measured["seconds"] / NX192_BASELINE_SAMPLES
+    info = {
+        "measured_samples": NX192_BASELINE_SAMPLES,
+        "measured_seconds": measured["seconds"],
+        "per_sample_seconds": per_sample,
+        "extrapolated_seconds_1core": per_sample * NX192_SAMPLES,
+        "seconds_8rank": per_sample * NX192_SAMPLES / MPI_RANKS,
+        "nx": NX192_NX,
+        "rank": NX192_RANK,
+        "n_samples": NX192_SAMPLES,
+    }
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    with open(BASELINE192_CACHE, "w") as f:
+        json.dump(info, f, indent=1)
+    return info
+
+
 # ---------------------------------------------------------------------------
 # Eigenvalue parity (f64, CPU): library pipeline on the baseline's samples
 # ---------------------------------------------------------------------------
@@ -571,6 +815,7 @@ def main():
     ap.add_argument("--baseline-n", type=int, default=None,
                     help="sample count for the baseline worker (second "
                          "measured point; skips the parity-data save)")
+    ap.add_argument("--baseline192-worker", action="store_true")
     ap.add_argument("--parity-worker", action="store_true")
     ap.add_argument("--ns-worker", type=int, default=None)
     ap.add_argument("--dtype", default=os.environ.get("BENCH_DTYPE", "float32"))
@@ -583,6 +828,11 @@ def main():
         n = args.baseline_n or BASELINE_SAMPLES
         print(json.dumps(run_baseline_worker(
             NX, n, RANK, save_parity=(args.baseline_n is None)
+        )))
+        return
+    if args.baseline192_worker:
+        print(json.dumps(run_baseline192_worker(
+            NX192_BASELINE_SAMPLES, NX192_RANK
         )))
         return
     if args.parity_worker:
@@ -625,9 +875,32 @@ def main():
                 f"r{NX192_RANK}_{NX192_SAMPLES}samples_{NX192_NX}x{NX192_NX}"
             )
             extra["nx192_stages"] = stages192
+            try:
+                b192 = get_baseline192()
+                extra["nx192_baseline_8rank_s"] = round(b192["seconds_8rank"], 1)
+                extra["nx192_vs_baseline"] = round(
+                    b192["seconds_8rank"] / t192, 2
+                )
+            except Exception as e:
+                log(f"nx192 baseline failed: {e}")
+                extra["nx192_baseline_error"] = str(e)[:200]
         except Exception as e:
             log(f"nx192 run failed: {e}")
             extra["nx192_error"] = str(e)[:200]
+    if os.environ.get("BENCH_HELMHOLTZ", "1") == "1":
+        try:
+            t_h, first_h, stages_h = run_helmholtz_lane()
+            extra["helmholtz_time_s"] = round(t_h, 2)
+            extra["helmholtz_first_run_s"] = round(first_h, 2)
+            extra["helmholtz_config"] = (
+                f"600Hz_r{int(os.environ.get('BENCH_HELM_RANK', 128))}_"
+                f"{int(os.environ.get('BENCH_HELM_SAMPLES', 32))}samples_"
+                f"nx{int(os.environ.get('BENCH_HELM_NX', 64))}_P2split"
+            )
+            extra["helmholtz_stages"] = stages_h
+        except Exception as e:
+            log(f"helmholtz lane failed: {e}")
+            extra["helmholtz_error"] = str(e)[:200]
 
     print(
         json.dumps(

@@ -20,6 +20,7 @@ from .assembly import (
     band_bc_masks,
     bc_symmetrize_banded,
     bc_symmetrize_banded_from_mask,
+    bc_symmetrize_banded_masked,
     bc_zero_rows,
     bc_apply_rhs,
 )

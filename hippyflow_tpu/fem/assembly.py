@@ -267,6 +267,60 @@ class BoundGalerkinForm:
         )
         return flat.reshape(self.n // s, s, 3 * s)
 
+    def prepare_banded_ordered(self, border) -> None:
+        """Materialize the permuted band scatter indices for a BandOrder
+        (P2 path; the P1 fast path uses `prepare_banded`).  Call at problem
+        construction, outside jit."""
+        if getattr(self, "_ordered_gather", None) is None:
+            from .band_order import ordered_band_indices
+
+            idx = ordered_band_indices(np.asarray(self.cells), border)
+            self._ordered_gather = _build_gather_tables(
+                idx, border.nb * border.s * 3 * border.s
+            )
+
+    def assemble_A_banded_ordered(self, u, m, z, border):
+        """dr/du gathered into PERMUTED (nb, s, 3s) band storage following
+        a `BandOrder` (structured P2 spaces, `fem/band_order.py`)."""
+        k = jax.jacfwd(self._r_elem, argnums=0)
+        A_e = self._per_cell(k, u, m, z)
+        flat = _gather_assemble(A_e.reshape(-1), self._ordered_gather)
+        return flat.reshape(border.nb, border.s, 3 * border.s)
+
+
+def _build_gather_tables(idx_np: np.ndarray, out_size: int):
+    """Static tables turning a scatter-add assembly into two gathers.
+
+    idx_np: (ne,) flat band index of each element-matrix entry.  Returns
+    (contrib (nnz, cmax) element-entry ids per nonzero band slot, padded
+    with ne -> a zero pad value; expand (out_size,) nonzero-slot rank per
+    band position, padded with nnz)."""
+    idx_np = np.asarray(idx_np, dtype=np.int64)
+    ne = idx_np.size
+    u, inv = np.unique(idx_np, return_inverse=True)
+    nnz = u.size
+    order = np.argsort(inv, kind="stable")
+    counts = np.bincount(inv, minlength=nnz)
+    starts = np.zeros(nnz, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    cmax = int(counts.max())
+    contrib = np.full((nnz, cmax), ne, dtype=np.int64)
+    for c in range(cmax):
+        sel = counts > c
+        contrib[sel, c] = order[starts[sel] + c]
+    expand = np.full(out_size, nnz, dtype=np.int64)
+    expand[u] = np.arange(nnz)
+    return jnp.asarray(contrib), jnp.asarray(expand)
+
+
+def _gather_assemble(A_e_flat, tables):
+    """Two-gather band assembly: sum each nonzero slot's (<= cmax) element
+    contributions, then expand to the full band layout (zeros elsewhere)."""
+    contrib, expand = tables
+    pad = jnp.zeros((1,), dtype=A_e_flat.dtype)
+    vals = jnp.concatenate([A_e_flat, pad])[contrib].sum(axis=1)  # (nnz,)
+    return jnp.concatenate([vals, pad])[expand]
+
 
 # ---------------------------------------------------------------------------
 # Canonical matrices
@@ -487,8 +541,14 @@ def bc_symmetrize_banded_from_mask(band, bc: DirichletBC):
     in-trace from the (n,) Dirichlet mask.  The expanded masks are n*3s
     elements — inlining them as HLO constants costs O(100MB) at large nx,
     while this construction carries only the (n,) mask."""
+    return bc_symmetrize_banded_masked(band, jnp.asarray(bc.mask))
+
+
+def bc_symmetrize_banded_masked(band, mask):
+    """bc_symmetrize on band storage from a raw (nb*s,) constrained-dof
+    mask (already in band order; pad positions count as constrained)."""
     nb, s = band.shape[0], band.shape[1]
-    mask01 = jnp.asarray(bc.mask).astype(band.dtype).reshape(nb, s)
+    mask01 = jnp.asarray(mask).astype(band.dtype).reshape(nb, s)
     keep = 1.0 - mask01  # (nb, s)
     zero_row = jnp.zeros((1, s), dtype=band.dtype)
     keep_up = jnp.concatenate([zero_row, keep[:-1]], axis=0)  # row j-1

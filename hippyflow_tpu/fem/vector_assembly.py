@@ -135,6 +135,34 @@ class VectorBoundGalerkinForm:
         A = jnp.zeros((self.n_total, self.n_total), dtype=A_e.dtype)
         return A.at[rows.reshape(-1), cols.reshape(-1)].add(A_e.reshape(-1))
 
+    def prepare_banded_ordered(self, border) -> None:
+        """Materialize the permuted band gather tables for a `BandOrder`
+        with interleaved components (helmholtz split-complex P2 state)."""
+        if getattr(self, "_ordered_gather", None) is None:
+            from .assembly import _build_gather_tables
+            from .band_order import ordered_band_indices
+
+            segs = (
+                np.asarray(self.cells)[:, :, None]
+                + np.arange(self.ncomp)[None, None, :] * self.n
+            ).reshape(-1, self.nd * self.ncomp)
+            idx = ordered_band_indices(segs, border)
+            self._ordered_gather = _build_gather_tables(
+                idx, border.nb * border.s * 3 * border.s
+            )
+
+    def assemble_A_banded_ordered(self, u, m, z, border):
+        """dr/du gathered into PERMUTED (nb, s, 3s) band storage: the
+        (nd*ncomp)^2 element blocks land in the row-ordered interleaved
+        numbering of `fem/band_order.py`, giving a block-tridiagonal
+        operator where the stacked layout is dense-only."""
+        from .assembly import _gather_assemble
+
+        k = jax.jacfwd(self._r_elem, argnums=0)
+        A_e = self._per_cell(k, u, m, z)  # (nc, nd, ncomp, nd, ncomp)
+        flat = _gather_assemble(A_e.reshape(-1), self._ordered_gather)
+        return flat.reshape(border.nb, border.s, 3 * border.s)
+
     def assemble_A_diag(self, u, m, z=None):
         """Diagonal of dr/du (n_total,): Jacobi preconditioner for the
         matrix-free iterative solve path."""

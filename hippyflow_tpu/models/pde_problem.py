@@ -23,6 +23,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import config
 from ..fem import (
@@ -206,12 +207,14 @@ class VariationalPDEProblem:
             "dist_banded",
         )
         scalar = self.state_dim == Vu.dim
-        # P2 edge dofs couple across grid rows: band structure is P1-only
-        structured = Vu.mesh.structured_shape is not None and Vu.degree == 1
+        structured = Vu.mesh.structured_shape is not None
+        # P1 scalar: the mesh's native row-major numbering is already
+        # block-tridiagonal (fast path, no permutation).  P2 and/or vector
+        # states regain the band through the static row ordering of
+        # fem/band_order.py (block size ncomp*degree*(degree*nx+1)).
+        structured_p1 = structured and Vu.degree == 1 and scalar
         if solver in ("block_tridiag", "block_cyclic", "dist_banded"):
-            assert scalar and structured, (
-                f"{solver} needs a structured scalar P1 problem"
-            )
+            assert structured, f"{solver} needs a structured mesh"
         self._use_iterative = solver == "iterative"
         self._use_dist = solver == "dist_banded"
         if self._use_dist:
@@ -219,7 +222,6 @@ class VariationalPDEProblem:
         self._dist_mesh, self._dist_axis = dist_mesh, dist_axis
         self._use_block_tridiag = (
             solver in ("auto", "block_tridiag", "block_cyclic", "dist_banded")
-            and scalar
             and structured
         )
         self._structured_solver = (
@@ -227,13 +229,25 @@ class VariationalPDEProblem:
         )
         self._iterative_tol = 1e-10
         self._iterative_maxiter = 1000
-        if self._use_block_tridiag:
+        self._band_order = None
+        if self._use_block_tridiag and structured_p1:
             self._block_size = Vu.mesh.structured_shape[0] + 1
             # Materialize band indices on device now (outside any trace);
             # bc masks are built in-trace from the (n,) mask — expanding them
             # to n*3s as constants would put O(100MB) into the HLO at large
             # nx (fem.bc_symmetrize_banded_from_mask).
             self.bound.prepare_banded(self._block_size)
+        elif self._use_block_tridiag:
+            from ..fem.band_order import ordered_band_mask, structured_band_order
+
+            ncomp = getattr(self.bound, "ncomp", 1)
+            border = structured_band_order(Vu, ncomp=ncomp)
+            self._band_order = border
+            self._block_size = border.s
+            self.bound.prepare_banded_ordered(border)
+            self._band_mask = jnp.asarray(
+                ordered_band_mask(np.asarray(bc.mask), border)
+            )
         self.bc = bc
         assert bc.mask.shape[0] == self.state_dim, (
             "DirichletBC mask length must match the (stacked) state dimension"
@@ -288,6 +302,35 @@ class VariationalPDEProblem:
                 u, m, z, diag, self,
                 self._iterative_tol, self._iterative_maxiter,
             )
+        if self._use_block_tridiag and self._band_order is not None:
+            # ordered (P2 / vector-state) banded path: assemble straight
+            # into the permuted band, factorize, expose in original order
+            from ..fem import bc_symmetrize_banded_masked
+            from ..ops.structured import PermutedFactor
+
+            border = self._band_order
+            band = self.bound.assemble_A_banded_ordered(u, m, z, border)
+            band = bc_symmetrize_banded_masked(band, self._band_mask)
+            if self._use_dist:
+                from ..parallel.dist_banded import (
+                    factorize_distributed_banded,
+                    place_on_mesh,
+                )
+
+                fac = factorize_distributed_banded(
+                    band,
+                    self._dist_mesh.shape[self._dist_axis],
+                    with_transpose=with_transpose,
+                )
+                if not isinstance(band, jax.core.Tracer):
+                    fac = place_on_mesh(fac, self._dist_mesh, self._dist_axis)
+            elif self._structured_solver == "block_cyclic":
+                fac = factorize_block_cyclic_banded(
+                    band, with_transpose=with_transpose
+                )
+            else:
+                fac = factorize_block_tridiag_banded(band)
+            return PermutedFactor(fac, border)
         if self._use_block_tridiag:
             s = self._block_size
             band = self.bound.assemble_A_banded(u, m, z, s)

@@ -121,6 +121,10 @@ def batched_inverse(X, force: str | None = None):
     use_pallas = force in ("pallas", "pallas_rank1") or (
         force is None and backend == "tpu" and s <= 256
     )
+    # s > 256 (helmholtz ordered bands, s=516): the VMEM scratch no longer
+    # fits once an outer vmap batches the kernel block (measured 32.6MB
+    # scoped vs the 16MB limit at s=516, batch 8) — XLA's LU inverse wins
+    # by default there.
     if not use_pallas:
         return jnp.linalg.inv(X)
     # cap the tile at the (pow2-padded) batch so deep cyclic-reduction

@@ -394,6 +394,41 @@ def block_tridiag_matmat(band, X):
     return out[:, 0] if squeeze else out
 
 
+@jax.tree_util.register_pytree_node_class
+class PermutedFactor:
+    """Factorization of P A P^T exposed in the ORIGINAL dof order.
+
+    Wraps any banded factor (BlockCyclicFactor, BlockTridiagFactor,
+    DistributedBandedFactor) built from a `fem.band_order.BandOrder`-permuted
+    band: ``solve`` gathers the rhs into band order, solves, and gathers
+    back — one O(n) gather each way around the O(n s^2) band solve.
+    The (static) ordering lives in aux data so vmap/jit batch only the
+    inner factor's leaves."""
+
+    def __init__(self, inner, border):
+        self.inner = inner
+        self.border = border  # BandOrder (static)
+
+    def tree_flatten(self):
+        return (self.inner,), (self.border,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0])
+
+    def solve(self, b, trans: bool = False):
+        bo = self.border
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+        order = jnp.asarray(bo.order)
+        pad = jnp.zeros((bo.n_pad, b.shape[1]), dtype=b.dtype)
+        y = jnp.concatenate([b[order], pad], axis=0)
+        x = self.inner.solve(y, trans=trans)
+        out = x[jnp.asarray(bo.inv)]
+        return out[:, 0] if squeeze else out
+
+
 class BlockBidiagCholesky(NamedTuple):
     """Block-bidiagonal Cholesky factor L of an SPD block-tridiagonal matrix
     (M = L L^T): diagonal blocks C (lower-triangular), subdiagonal blocks
