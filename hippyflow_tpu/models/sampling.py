@@ -314,13 +314,33 @@ def materialize_jacobians(
                 cache[ck] = lambda m, u, z: lifted(m, u)
         return cache[ck]
 
-    outs = []
     n = ms.shape[0]
+    # Accumulate through donated dynamic_update_slice programs rather than
+    # one n-way jnp.concatenate: XLA lays the big concat out minor-first on
+    # the chunk axis ((chunk, dQ, dM) -> {0,2,1:T(8,128)}), padding
+    # chunk=8 to 128 — a measured 16x HBM expansion that OOMs the nx=192
+    # rank-128 lane (28.4G for a 1.8G unpadded result).  Slice updates keep
+    # the canonical row-major layout, donate the buffer between steps, and
+    # free each chunk's output as soon as it lands.
+    upd = jax.jit(
+        lambda A, c, s0: jax.lax.dynamic_update_slice(
+            A, c, (s0,) + (0,) * (c.ndim - 1)
+        ),
+        donate_argnums=0,
+        static_argnums=2,
+    )
+    J_all = None
     for s in range(0, n, chunk_size):
         e = min(s + chunk_size, n)
         z_chunk = zs[s:e] if zs is not None else None
-        outs.append(get_fn(e - s)(ms[s:e], us[s:e], z_chunk))
-    return jnp.concatenate(outs)
+        chunk_J = get_fn(e - s)(ms[s:e], us[s:e], z_chunk)
+        if n <= chunk_size:
+            return chunk_J
+        if J_all is None:
+            J_all = jnp.zeros((n,) + chunk_J.shape[1:], dtype=chunk_J.dtype)
+        J_all = upd(J_all, chunk_J, s)
+        del chunk_J
+    return J_all
 
 
 def linearize_batch(observable: LinearStateObservable, ms, us, zs=None):
