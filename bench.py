@@ -152,7 +152,8 @@ def run_ns_worker(nx: int):
 
 
 def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str,
-                     velocity=None, save_data: bool = True):
+                     velocity=None, save_data: bool = True,
+                     chunk_default: int | None = None):
     import jax
 
     # persistent compilation cache: compiles over the TPU tunnel cost
@@ -193,7 +194,7 @@ def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str,
     # likewise exclude code generation: FFC forms are compiled and cached
     # before its timed sections.)  First-run time-to-solution (warm-up pass
     # included, i.e. compile + execute) is reported alongside.
-    chunk = int(os.environ.get("BENCH_CHUNK", 0)) or None
+    chunk = int(os.environ.get("BENCH_CHUNK", 0)) or chunk_default
     if chunk is not None:
         chunk = min(chunk, n_samples)
     params["chunk_size"] = chunk
@@ -329,6 +330,9 @@ def run_helmholtz_lane():
         params["oversampling"] = OVERSAMPLING
         params["samples_per_process"] = n_samples
         params["verbose"] = True
+        chunk = int(os.environ.get("BENCH_HELM_CHUNK", 0)) or None
+        if chunk is not None:
+            params["chunk_size"] = min(chunk, n_samples)
         return ActiveSubspaceProjector(obs, prior, parameters=params)
 
     t0 = time.time()
@@ -868,6 +872,10 @@ def main():
             t192, first192, _, _, stages192 = run_tpu_pipeline(
                 NX192_NX, NX192_SAMPLES, NX192_RANK, args.dtype,
                 save_data=False,
+                # measured: auto chunking picks 8 here (16*n*s memory
+                # model), but 16 fits and runs the lane 1.73x faster
+                # (62.1 -> 35.9 s); 32 OOMs at runtime
+                chunk_default=int(os.environ.get("BENCH_NX192_CHUNK", 16)),
             )
             extra["nx192_time_s"] = round(t192, 2)
             extra["nx192_first_run_s"] = round(first192, 2)
