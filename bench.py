@@ -330,7 +330,10 @@ def run_helmholtz_lane():
         params["oversampling"] = OVERSAMPLING
         params["samples_per_process"] = n_samples
         params["verbose"] = True
-        chunk = int(os.environ.get("BENCH_HELM_CHUNK", 0)) or None
+        # measured: auto chunking picks 4 at s=516; chunk 8 runs the lane
+        # 21% faster (7.21 -> 5.72 s) and 16 would OOM the with-transpose
+        # Jacobian stage (~1 GB/sample live factor set)
+        chunk = int(os.environ.get("BENCH_HELM_CHUNK", 8)) or None
         if chunk is not None:
             params["chunk_size"] = min(chunk, n_samples)
         return ActiveSubspaceProjector(obs, prior, parameters=params)
