@@ -25,6 +25,8 @@ from .structured import (
     factorize_block_tridiag_banded,
     factorize_block_cyclic,
     factorize_block_cyclic_banded,
+    InverseThomasFactor,
+    factorize_thomas_inv_banded,
 )
 from .operators import (
     dense_operator,

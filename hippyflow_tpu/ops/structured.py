@@ -374,6 +374,141 @@ def factorize_block_cyclic_banded(band, with_transpose: bool = True) -> BlockCyc
     )
 
 
+@jax.custom_batching.custom_vmap
+def _block_inv_single(X):
+    """Inverse of ONE (s, s) block, with a custom vmap rule routing any
+    batched call to the Pallas Gauss-Jordan kernel.
+
+    `factorize_thomas_inv_banded` is written per-sample so the public
+    solver API composes with jax.vmap; inside its row scan each step
+    inverts a single block.  A plain jnp.linalg.inv would batch into
+    XLA's sequential-pivoting LU under vmap (measured ~30us per 65x65
+    matrix); this rule turns the whole per-step sample batch into one
+    blocked Pallas GJ call instead (`ops/pallas_kernels.py`)."""
+    return jnp.linalg.inv(X)
+
+
+@_block_inv_single.def_vmap
+def _block_inv_single_vmap_rule(axis_size, in_batched, X):
+    del axis_size
+    if not in_batched[0]:
+        return jnp.linalg.inv(X), False
+    return _block_inv(X), True
+
+
+class InverseThomasFactor(NamedTuple):
+    """Block-Thomas factorization carried by EXPLICIT diagonal inverses.
+
+    A = Lhat @ Uhat with Lhat unit-diagonal (subdiagonal multipliers M)
+    and Uhat carrying D' on the diagonal (stored as Dinv = D'^{-1}) and
+    the original superdiagonal blocks B.  Versus cyclic reduction this
+    costs 7 s^3 flops per block row instead of ~16 s^3, runs every scan
+    step as ONE batched op over the vmapped sample axis (measured 2.5x
+    faster factorization at nx=64 B=256, benchmarks/probe_thomas.py),
+    and serves transpose solves from the SAME factors — cyclic reduction
+    must factorize the transposed band separately, so `linearize`
+    (forward + adjoint solves) saves a full second factorization here.
+
+    Same no-pivoting-between-blocks contract as the other banded
+    factorizations (bc-symmetrized FEM operators)."""
+
+    M: jax.Array  # (nb, s, s) subdiagonal multipliers, M[0] = 0
+    Dinv: jax.Array  # (nb, s, s) inverses of the pivoted diagonal blocks
+    B: jax.Array  # (nb, s, s) superdiagonal blocks of A, B[nb-1] = 0
+
+    @property
+    def nb(self):
+        return self.M.shape[0]
+
+    @property
+    def s(self):
+        return self.M.shape[1]
+
+    def solve(self, b, trans: bool = False):
+        """Solve A x = b (or A^T x = b). b: (n,) or (n, k)."""
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+        nb, s = self.nb, self.s
+        bb = b.reshape(nb, s, -1)
+
+        if not trans:
+            # forward: y_j = b_j - M_j y_{j-1}
+            def fwd(y_prev, inputs):
+                bj, Mj = inputs
+                yj = bj - Mj @ y_prev
+                return yj, yj
+
+            y0 = bb[0]
+            _, ys_rest = jax.lax.scan(fwd, y0, (bb[1:], self.M[1:]))
+            ys = jnp.concatenate([y0[None], ys_rest], axis=0)
+
+            # backward: x_j = Dinv_j (y_j - B_j x_{j+1})
+            def bwd(x_next, inputs):
+                yj, Bj, Dij = inputs
+                xj = Dij @ (yj - Bj @ x_next)
+                return xj, xj
+
+            x_last = self.Dinv[-1] @ ys[-1]
+            _, xs_rest = jax.lax.scan(
+                bwd, x_last,
+                (ys[:-1], self.B[:-1], self.Dinv[:-1]), reverse=True,
+            )
+            xs = jnp.concatenate([xs_rest, x_last[None]], axis=0)
+        else:
+            # A^T = Uhat^T Lhat^T.
+            # forward (Uhat^T z = b): z_j = Dinv_j^T (b_j - B_{j-1}^T z_{j-1})
+            def fwd_t(z_prev, inputs):
+                bj, Bjm1, Dij = inputs
+                zj = Dij.T @ (bj - Bjm1.T @ z_prev)
+                return zj, zj
+
+            z0 = self.Dinv[0].T @ bb[0]
+            _, zs_rest = jax.lax.scan(
+                fwd_t, z0, (bb[1:], self.B[:-1], self.Dinv[1:])
+            )
+            zs = jnp.concatenate([z0[None], zs_rest], axis=0)
+
+            # backward (Lhat^T x = z): x_j = z_j - M_{j+1}^T x_{j+1}
+            def bwd_t(x_next, inputs):
+                zj, Mjp1 = inputs
+                xj = zj - Mjp1.T @ x_next
+                return xj, xj
+
+            x_last = zs[-1]
+            _, xs_rest = jax.lax.scan(
+                bwd_t, x_last, (zs[:-1], self.M[1:]), reverse=True
+            )
+            xs = jnp.concatenate([xs_rest, x_last[None]], axis=0)
+
+        x = xs.reshape(nb * s, -1)
+        return x[:, 0] if squeeze else x
+
+
+def factorize_thomas_inv_banded(band) -> InverseThomasFactor:
+    """Inverse-based block-Thomas factorization from (nb, s, 3s) band
+    storage.  Per-sample function; compose with jax.vmap for batches —
+    the scan stays length nb while every step's matmuls and inverse
+    batch over the sample axis (see `_block_inv_single`)."""
+    s = band.shape[1]
+    A = band[:, :, :s]
+    D = band[:, :, s : 2 * s]
+    Bb = band[:, :, 2 * s :]
+
+    Dinv0 = _block_inv_single(D[0])
+
+    def step(Dinv_prev, inputs):
+        Dj, Aj, Bjm1 = inputs
+        Mj = Aj @ Dinv_prev
+        Dinv = _block_inv_single(Dj - Mj @ Bjm1)
+        return Dinv, (Mj, Dinv)
+
+    _, (Ms, Dinvs) = jax.lax.scan(step, Dinv0, (D[1:], A[1:], Bb[:-1]))
+    Ms = jnp.concatenate([jnp.zeros_like(Dinv0)[None], Ms], axis=0)
+    Dinvs = jnp.concatenate([Dinv0[None], Dinvs], axis=0)
+    return InverseThomasFactor(M=Ms, Dinv=Dinvs, B=Bb)
+
+
 def block_tridiag_matmat(band, X):
     """A @ X for band storage (nb, s, 3s); X: (n,) or (n, k).
 
