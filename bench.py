@@ -290,6 +290,25 @@ def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str,
                 "forward_mfu": round(rep["mfu"] * iters, 5),
                 "newton_iters_max": iters,
             }
+            if getattr(problem, "_structured_solver_fwd", None) == "thomas_inv":
+                # XLA's cost analysis counts the length-nb Thomas scan body
+                # once, undercounting flops by ~nb.  Use the analytic
+                # algorithm model (ops/structured.py::thomas_inv_flops);
+                # keep the XLA figure for reference.  Note the Thomas MFU
+                # is LOWER than cyclic reduction's even though wall time
+                # halved: the algorithm needs ~2.3x fewer flops per solve.
+                from hippyflow_tpu.ops.structured import thomas_inv_flops
+
+                s = problem._block_size
+                nb = problem.state_dim // s
+                fl = thomas_inv_flops(nb, s, 1) * B * iters
+                from hippyflow_tpu.utils.profiling import device_peak_tflops
+
+                tf = fl / rep["seconds"] / 1e12
+                mfu["forward_tflops_xla"] = mfu.pop("forward_tflops")
+                mfu["forward_mfu_xla"] = mfu.pop("forward_mfu")
+                mfu["forward_tflops"] = round(tf, 3)
+                mfu["forward_mfu"] = round(tf / device_peak_tflops(), 5)
             log(f"forward-solve utilization: {mfu}")
         except Exception as e:
             log(f"mfu probe failed: {e}")

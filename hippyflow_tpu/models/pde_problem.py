@@ -230,16 +230,22 @@ class VariationalPDEProblem:
             )
             and structured
         )
-        # 'auto' resolves to inverse-based block-Thomas: measured 2.5x
-        # faster factorization than cyclic reduction at nx=64 B=256 and
-        # transpose solves come from the same factors, so linearize skips
-        # the second (A^T) factorization entirely (probe_thomas.py).
-        # Cyclic reduction stays selectable ('block_cyclic') and remains
-        # the local solver inside the dof-sharded SPIKE path.
-        if solver in ("block_tridiag", "block_cyclic"):
-            self._structured_solver = solver
+        # 'auto' picks the structured factorization BY USAGE (measured on
+        # v5e at nx=64 B=256, probe_thomas.py / probe_forward.py):
+        # * forward solves (with_transpose=False): inverse-based
+        #   block-Thomas — 2.5x faster factorization (190 -> 76 ms), and
+        #   Newton refactorizes every iteration with one k=1 back-solve,
+        #   so factorization cost dominates (vmapped Newton 905 -> 381 ms);
+        # * linearize (with_transpose=True): cyclic reduction — its
+        #   log2(nb)-depth sweeps solve the dQ-rhs adjoint blocks of
+        #   Jacobian materialization ~10x faster than Thomas's nb
+        #   sequential steps (measured 1.4 vs 12.1 s for 1024 samples).
+        # Explicit solver= choices apply everywhere.
+        if solver in ("block_tridiag", "block_cyclic", "thomas_inv"):
+            self._structured_solver = self._structured_solver_fwd = solver
         else:
-            self._structured_solver = "thomas_inv"
+            self._structured_solver = "block_cyclic"
+            self._structured_solver_fwd = "thomas_inv"
         self._iterative_tol = 1e-10
         self._iterative_maxiter = 1000
         self._band_order = None
@@ -337,14 +343,20 @@ class VariationalPDEProblem:
                 )
                 if not isinstance(band, jax.core.Tracer):
                     fac = place_on_mesh(fac, self._dist_mesh, self._dist_axis)
-            elif self._structured_solver == "thomas_inv":
-                fac = factorize_thomas_inv_banded(band)
-            elif self._structured_solver == "block_cyclic":
-                fac = factorize_block_cyclic_banded(
-                    band, with_transpose=with_transpose
-                )
             else:
-                fac = factorize_block_tridiag_banded(band)
+                sv = (
+                    self._structured_solver
+                    if with_transpose
+                    else self._structured_solver_fwd
+                )
+                if sv == "thomas_inv":
+                    fac = factorize_thomas_inv_banded(band)
+                elif sv == "block_cyclic":
+                    fac = factorize_block_cyclic_banded(
+                        band, with_transpose=with_transpose
+                    )
+                else:
+                    fac = factorize_block_tridiag_banded(band)
             return PermutedFactor(fac, border)
         if self._use_block_tridiag:
             s = self._block_size
@@ -364,9 +376,14 @@ class VariationalPDEProblem:
                 if not isinstance(band, jax.core.Tracer):
                     fac = place_on_mesh(fac, self._dist_mesh, self._dist_axis)
                 return fac
-            if self._structured_solver == "thomas_inv":
+            sv = (
+                self._structured_solver
+                if with_transpose
+                else self._structured_solver_fwd
+            )
+            if sv == "thomas_inv":
                 return factorize_thomas_inv_banded(band)
-            if self._structured_solver == "block_cyclic":
+            if sv == "block_cyclic":
                 return factorize_block_cyclic_banded(
                     band, with_transpose=with_transpose
                 )

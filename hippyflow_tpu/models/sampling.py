@@ -69,7 +69,7 @@ def _jit_cache(obj):
     return obj._hf_jit_cache
 
 
-def jit_lifted(fn, *example_args):
+def jit_lifted(fn, *example_args, donate_argnums=()):
     """jit with closure constants lifted to arguments.
 
     jax inlines closure-captured arrays into the lowered HLO as literal
@@ -77,9 +77,11 @@ def jit_lifted(fn, *example_args):
     prior bands captured by the FEM programs that is tens-to-hundreds of MB
     of HLO at large nx — enough to break remote-compile transports.
     `jax.closure_convert` extracts the captured arrays; passing them as call
-    arguments keeps the compile payload small and the buffers shared."""
+    arguments keeps the compile payload small and the buffers shared.
+    donate_argnums refers to fn's own positional arguments (the lifted
+    consts are appended after them, so the positions are unchanged)."""
     converted, consts = jax.closure_convert(fn, *example_args)
-    jfn = jax.jit(converted)
+    jfn = jax.jit(converted, donate_argnums=donate_argnums)
 
     def call(*args):
         return jfn(*args, *consts)
@@ -299,47 +301,68 @@ def materialize_jacobians(
         lin = problem.linearize(u, m, z)
         return J.materialize(lin)
 
+    n = ms.shape[0]
+    n_single = n <= chunk_size
+
+    # Multi-chunk accumulation fuses the slice-update INTO each chunk's
+    # program (donated buffer, traced start index) instead of an n-way
+    # jnp.concatenate or separate update programs:
+    # * the concat made XLA lay the result out minor-first on the chunk
+    #   axis ((chunk, dQ, dM) -> {0,2,1:T(8,128)}), padding chunk=8 to
+    #   128 — a measured 16x HBM expansion that OOMed the nx=192 rank-128
+    #   lane (28.4G for a 1.8G result);
+    # * separate update programs re-expose the same pathological layout
+    #   at the chunk program's OUTPUT boundary, paying a layout-converting
+    #   copy per chunk (measured +1.3 s at nx=64).
+    # In-program, XLA sees the update target's canonical layout and keeps
+    # the chunk internal.
+    def one_chunk(ms_c, us_c, z_c):
+        if zs is not None:
+            return jax.vmap(one)(ms_c, us_c, z_c)
+        return jax.vmap(lambda m, u: one(m, u, None))(ms_c, us_c)
+
+    def one_chunk_update(J_acc, start, ms_c, us_c, z_c):
+        Js_c = one_chunk(ms_c, us_c, z_c)
+        zero = jnp.zeros((), start.dtype)
+        return jax.lax.dynamic_update_slice(
+            J_acc, Js_c, (start,) + (zero,) * (Js_c.ndim - 1)
+        )
+
+    probe = jax.eval_shape(
+        lambda m, u, z: one(m, u, z if zs is not None else None),
+        ms[0], us[0], (zs[0] if zs is not None else ms[0]),
+    )
+
     def get_fn(b: int):
-        ck = ("materialize", control, zs is not None, b, str(ms.dtype))
+        ck = ("materialize", control, zs is not None, b, n_single, n,
+              str(ms.dtype))
         if ck not in cache:
             m_ex = jax.ShapeDtypeStruct((b, ms.shape[1]), ms.dtype)
             u_ex = jax.ShapeDtypeStruct((b, us.shape[1]), us.dtype)
-            if zs is not None:
-                z_ex = jax.ShapeDtypeStruct((b, zs.shape[1]), zs.dtype)
-                cache[ck] = jit_lifted(jax.vmap(one), m_ex, u_ex, z_ex)
+            z_ex = (
+                jax.ShapeDtypeStruct((b, zs.shape[1]), zs.dtype)
+                if zs is not None else None
+            )
+            if n_single:
+                cache[ck] = jit_lifted(one_chunk, m_ex, u_ex, z_ex)
             else:
-                lifted = jit_lifted(
-                    jax.vmap(lambda m, u: one(m, u, None)), m_ex, u_ex
+                J_ex = jax.ShapeDtypeStruct((n,) + probe.shape, probe.dtype)
+                s_ex = jax.ShapeDtypeStruct((), jnp.int32)
+                cache[ck] = jit_lifted(
+                    one_chunk_update, J_ex, s_ex, m_ex, u_ex, z_ex,
+                    donate_argnums=(0,),
                 )
-                cache[ck] = lambda m, u, z: lifted(m, u)
         return cache[ck]
 
-    n = ms.shape[0]
-    # Accumulate through donated dynamic_update_slice programs rather than
-    # one n-way jnp.concatenate: XLA lays the big concat out minor-first on
-    # the chunk axis ((chunk, dQ, dM) -> {0,2,1:T(8,128)}), padding
-    # chunk=8 to 128 — a measured 16x HBM expansion that OOMs the nx=192
-    # rank-128 lane (28.4G for a 1.8G unpadded result).  Slice updates keep
-    # the canonical row-major layout, donate the buffer between steps, and
-    # free each chunk's output as soon as it lands.
-    upd = jax.jit(
-        lambda A, c, s0: jax.lax.dynamic_update_slice(
-            A, c, (s0,) + (0,) * (c.ndim - 1)
-        ),
-        donate_argnums=0,
-        static_argnums=2,
-    )
-    J_all = None
+    if n_single:
+        return get_fn(n)(ms, us, zs)
+    J_all = jnp.zeros((n,) + probe.shape, dtype=probe.dtype)
     for s in range(0, n, chunk_size):
         e = min(s + chunk_size, n)
         z_chunk = zs[s:e] if zs is not None else None
-        chunk_J = get_fn(e - s)(ms[s:e], us[s:e], z_chunk)
-        if n <= chunk_size:
-            return chunk_J
-        if J_all is None:
-            J_all = jnp.zeros((n,) + chunk_J.shape[1:], dtype=chunk_J.dtype)
-        J_all = upd(J_all, chunk_J, s)
-        del chunk_J
+        J_all = get_fn(e - s)(
+            J_all, jnp.asarray(s, jnp.int32), ms[s:e], us[s:e], z_chunk
+        )
     return J_all
 
 

@@ -509,6 +509,18 @@ def factorize_thomas_inv_banded(band) -> InverseThomasFactor:
     return InverseThomasFactor(M=Ms, Dinv=Dinvs, B=Bb)
 
 
+def thomas_inv_flops(nb: int, s: int, n_rhs: int = 1) -> float:
+    """Analytic FLOP count of one `factorize_thomas_inv_banded` +
+    `InverseThomasFactor.solve` call (per sample).
+
+    Needed because XLA's HLO cost analysis counts a while/scan body ONCE —
+    the length-nb scans here make `flops_of` undercount by ~nb.  Model:
+    factorization 7 s^3 per block row (Gauss-Jordan inverse ~3 s^3 +
+    two s x s matmuls 2 s^3 each), solve 6 s^2 per row per rhs (one
+    matmul in the forward sweep, two in the back-substitution)."""
+    return float(nb) * (7.0 * s**3 + 6.0 * s**2 * n_rhs)
+
+
 def block_tridiag_matmat(band, X):
     """A @ X for band storage (nb, s, 3s); X: (n,) or (n, k).
 
