@@ -153,7 +153,8 @@ def run_ns_worker(nx: int):
 
 def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str,
                      velocity=None, save_data: bool = True,
-                     chunk_default: int | None = None):
+                     chunk_default: int | None = None,
+                     jac_chunk_default: int | None = None):
     import jax
 
     # persistent compilation cache: compiles over the TPU tunnel cost
@@ -198,6 +199,9 @@ def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str,
     if chunk is not None:
         chunk = min(chunk, n_samples)
     params["chunk_size"] = chunk
+    jac_chunk = int(os.environ.get("BENCH_JAC_CHUNK", 0)) or jac_chunk_default
+    if jac_chunk is not None:
+        params["jac_chunk_size"] = min(jac_chunk, n_samples)
     log("warmup pass (compiles all programs) ...")
     t0 = time.time()
     warm = ActiveSubspaceProjector(obs, prior, parameters=params)
@@ -350,11 +354,16 @@ def run_helmholtz_lane():
         params["samples_per_process"] = n_samples
         params["verbose"] = True
         # measured: auto chunking picks 4 at s=516; chunk 8 runs the lane
-        # 21% faster (7.21 -> 5.72 s) and 16 would OOM the with-transpose
-        # Jacobian stage (~1 GB/sample live factor set)
+        # 21% faster (7.21 -> 5.72 s) and 16 OOMed the Jacobian stage back
+        # when it factorized both directions (~1 GB/sample); the
+        # adjoint-only factor halves that, so the jac chunk gets its own
+        # (probeable) knob
         chunk = int(os.environ.get("BENCH_HELM_CHUNK", 8)) or None
         if chunk is not None:
             params["chunk_size"] = min(chunk, n_samples)
+        jac_chunk = int(os.environ.get("BENCH_HELM_JAC_CHUNK", 0)) or None
+        if jac_chunk is not None:
+            params["jac_chunk_size"] = min(jac_chunk, n_samples)
         return ActiveSubspaceProjector(obs, prior, parameters=params)
 
     t0 = time.time()
@@ -895,9 +904,15 @@ def main():
                 NX192_NX, NX192_SAMPLES, NX192_RANK, args.dtype,
                 save_data=False,
                 # measured: auto chunking picks 8 here (16*n*s memory
-                # model), but 16 fits and runs the lane 1.73x faster
-                # (62.1 -> 35.9 s); 32 OOMs at runtime
-                chunk_default=int(os.environ.get("BENCH_NX192_CHUNK", 16)),
+                # model); forward chunk 32 is the practical max (Thomas
+                # factors ~250 MB/sample live) and runs 9% faster than 16
+                # (81 vs 89 ms/sample, probe_fwd192.py); the dQ-rhs
+                # Jacobian stage needs the smaller 16 (32 OOMed at 17 GB
+                # pre-split)
+                chunk_default=int(os.environ.get("BENCH_NX192_CHUNK", 32)),
+                jac_chunk_default=int(
+                    os.environ.get("BENCH_NX192_JAC_CHUNK", 16)
+                ),
             )
             extra["nx192_time_s"] = round(t192, 2)
             extra["nx192_first_run_s"] = round(first192, 2)

@@ -77,6 +77,12 @@ def ActiveSubspaceParameterList() -> ParameterList:
             "store_Omega": [False, "keep the random probe (unit tests)"],
             "ms_given": [False, "use externally supplied samples (unit tests)"],
             "chunk_size": [None, "sample-batch chunk size (None = auto)"],
+            "jac_chunk_size": [
+                None,
+                "chunk size for Jacobian materialization (None = chunk_size; "
+                "set smaller when the dQ-rhs adjoint solves need more memory "
+                "per sample than the forward Newton solves)",
+            ],
             "seed": [0, "PRNG seed for sampling and probes"],
             "reset_initial_guess": [
                 False,
@@ -241,7 +247,10 @@ class ActiveSubspaceProjector:
                     s.ms,
                     s.us,
                     s.zs,
-                    chunk_size=self.parameters["chunk_size"],
+                    chunk_size=(
+                        self.parameters["jac_chunk_size"]
+                        or self.parameters["chunk_size"]
+                    ),
                 )
                 if self.parameters["verbose"]:
                     print(f"jacobian materialization took {time.time() - t0:.3f}s")

@@ -89,8 +89,11 @@ class MultiPDEProblem:
         )
         return jnp.stack(us), info
 
-    def linearize(self, u, m, z=None):
-        lins = [p.linearize(u[k], m, z) for k, p in enumerate(self.problems)]
+    def linearize(self, u, m, z=None, needs: str = "both"):
+        lins = [
+            p.linearize(u[k], m, z, needs=needs)
+            for k, p in enumerate(self.problems)
+        ]
         return lins
 
     def solve_incremental(self, lins, rhs, is_adj: bool = False):

@@ -304,14 +304,21 @@ class VariationalPDEProblem:
         assert self.has_control
         return jnp.zeros(self.control_dim, dtype=dtype or config.default_dtype())
 
-    def _assemble_factorize(self, u, m, z, with_transpose: bool = True):
+    def _assemble_factorize(self, u, m, z, needs: str = "both"):
         """Assemble the bc-symmetrized A = dr/du at (u, m, z) and factorize.
 
         Structured path: banded assembly -> band bc -> cyclic reduction (or
         block-Thomas), O(n s) memory; no dense matrix is ever formed.  Dense
         path: dense assembly -> bc_symmetrize -> LU/Cholesky.
-        with_transpose=False skips the A^T factorization on the cyclic path
-        (Newton forward solves never need adjoints)."""
+        ``needs`` in {"both", "fwd", "adj"} prunes factorization work on the
+        cyclic path: "fwd" skips the A^T factorization (Newton forward
+        solves never need adjoints), "adj" skips the A factorization
+        (Jacobian materialization solves only A^T X = B^T).  Factors whose
+        forward and transpose solves share storage (Thomas, dense LU)
+        ignore the hint."""
+        assert needs in ("both", "fwd", "adj")
+        with_transpose = needs != "fwd"
+        with_forward = needs != "adj"
         if self._use_iterative:
             mask = jnp.asarray(self.bc.mask)
             diag = jnp.where(
@@ -353,7 +360,9 @@ class VariationalPDEProblem:
                     fac = factorize_thomas_inv_banded(band)
                 elif sv == "block_cyclic":
                     fac = factorize_block_cyclic_banded(
-                        band, with_transpose=with_transpose
+                        band,
+                        with_transpose=with_transpose,
+                        with_forward=with_forward,
                     )
                 else:
                     fac = factorize_block_tridiag_banded(band)
@@ -385,7 +394,9 @@ class VariationalPDEProblem:
                 return factorize_thomas_inv_banded(band)
             if sv == "block_cyclic":
                 return factorize_block_cyclic_banded(
-                    band, with_transpose=with_transpose
+                    band,
+                    with_transpose=with_transpose,
+                    with_forward=with_forward,
                 )
             return factorize_block_tridiag_banded(band)
         A = bc_symmetrize(self.bound.assemble_A(u, m, z), self.bc)
@@ -423,7 +434,7 @@ class VariationalPDEProblem:
             lambda uu: self.bound.residual(uu, m, z), (zero,), (g,)
         )[1]
         b = jnp.where(mask, g, b - lift)
-        fac = self._assemble_factorize(zero, m, z, with_transpose=False)
+        fac = self._assemble_factorize(zero, m, z, needs="fwd")
         u = fac.solve(b)
         # Real convergence flag (direct factors trivially pass; a stagnated
         # iterative solve fails): residual of the solved linear system
@@ -493,7 +504,7 @@ class VariationalPDEProblem:
 
         def body(state):
             u, r, it = state
-            fac = self._assemble_factorize(u, m, z, with_transpose=False)
+            fac = self._assemble_factorize(u, m, z, needs="fwd")
             u, r = line_search_step(fac, u, r, chord=False)
             # Shamanskii: extra chord steps with the stale factorization,
             # masked to lanes still above tolerance
@@ -510,12 +521,16 @@ class VariationalPDEProblem:
         return u, info
 
     # -- linearization ---------------------------------------------------------
-    def linearize(self, u, m, z=None) -> Linearization:
+    def linearize(self, u, m, z=None, needs: str = "both") -> Linearization:
         """Assemble and factorize A = dr/du at (u, m, z) (bc-symmetrized).
 
         Reference: ``setLinearizationPoint`` assembling A/At and setting the
-        incremental solvers (`setupPoissonControlProblem.py:209-233`)."""
-        fac = self._assemble_factorize(u, m, z)
+        incremental solvers (`setupPoissonControlProblem.py:209-233`).
+
+        ``needs="adj"`` builds a factor usable only for adjoint solves
+        (halves the cyclic-reduction factorization cost — what dense-Jacobian
+        materialization wants); ``"fwd"`` only forward solves."""
+        fac = self._assemble_factorize(u, m, z, needs=needs)
         return Linearization(u=u, m=m, z=z, factor=fac)
 
     # -- incremental solves -------------------------------------------------

@@ -297,8 +297,22 @@ def materialize_jacobians(
 
     cache = _jit_cache(observable)
 
+    # materialize solves ONLY A^T X = B^T (jacobian.py:54-60): ask for an
+    # adjoint-only factor where the problem supports the hint (halves the
+    # cyclic-reduction factorization work); duck-typed problems without the
+    # kwarg get the plain call.
+    import inspect
+
+    try:
+        _adj = "needs" in inspect.signature(problem.linearize).parameters
+    except (TypeError, ValueError):
+        _adj = False
+
     def one(m, u, z):
-        lin = problem.linearize(u, m, z)
+        if _adj:
+            lin = problem.linearize(u, m, z, needs="adj")
+        else:
+            lin = problem.linearize(u, m, z)
         return J.materialize(lin)
 
     n = ms.shape[0]
@@ -328,10 +342,11 @@ def materialize_jacobians(
             J_acc, Js_c, (start,) + (zero,) * (Js_c.ndim - 1)
         )
 
-    probe = jax.eval_shape(
-        lambda m, u, z: one(m, u, z if zs is not None else None),
-        ms[0], us[0], (zs[0] if zs is not None else ms[0]),
-    )
+    # per-sample output shape/dtype: (dQ, dM) in the sample dtype.  (An
+    # eval_shape here would re-trace the whole linearize+factorize+vjp graph
+    # on EVERY call — measured ~0.4 s of pure Python per materialize at
+    # nx=64, a third of the stage.)
+    probe = jax.ShapeDtypeStruct(J.shape, ms.dtype)
 
     def get_fn(b: int):
         ck = ("materialize", control, zs is not None, b, n_single, n,

@@ -270,14 +270,15 @@ class BlockCyclicFactor(NamedTuple):
 
     @property
     def s(self):
-        return self.Dinv_root.shape[-1]
+        root = self.Dinv_root if self.Dinv_root is not None else self.Dinv_root_T
+        return root.shape[-1]
 
     def solve(self, rhs, trans: bool = False):
         """Solve A x = rhs (or A^T x = rhs). rhs: (n,) or (n, k)."""
         levels = self.trans_levels if trans else self.levels
         Dinv_root = self.Dinv_root_T if trans else self.Dinv_root
         assert levels is not None, (
-            "factorized without with_transpose=True; adjoint solves unavailable"
+            "this direction was not factorized (with_transpose/with_forward)"
         )
         squeeze = rhs.ndim == 1
         if squeeze:
@@ -338,11 +339,17 @@ def _transpose_band(a, d, b):
     return a_t, jnp.swapaxes(d, -1, -2), b_t
 
 
-def factorize_block_cyclic(D, L_A, B, with_transpose: bool = True) -> BlockCyclicFactor:
+def factorize_block_cyclic(
+    D, L_A, B, with_transpose: bool = True, with_forward: bool = True
+) -> BlockCyclicFactor:
     """Cyclic-reduction factorization from the three block diagonals.
 
     with_transpose also factorizes A^T (needed for adjoint/incremental
-    solves); Newton forward solves can skip it."""
+    solves); Newton forward solves can skip it.  with_forward=False skips
+    the A factorization instead — Jacobian materialization solves ONLY
+    A^T X = B^T (`models/jacobian.py:54-60`), so building the forward
+    sweep there would double the factorization cost for nothing."""
+    assert with_transpose or with_forward
 
     def run(a, d, b):
         levels = []
@@ -351,7 +358,9 @@ def factorize_block_cyclic(D, L_A, B, with_transpose: bool = True) -> BlockCycli
             levels.append(lv)
         return tuple(levels), _block_inv(d)[0]
 
-    levels, Dinv_root = run(L_A, D, B)
+    levels, Dinv_root = (None, None)
+    if with_forward:
+        levels, Dinv_root = run(L_A, D, B)
     trans_levels, Dinv_root_T = (None, None)
     if with_transpose:
         trans_levels, Dinv_root_T = run(*_transpose_band(L_A, D, B))
@@ -363,7 +372,9 @@ def factorize_block_cyclic(D, L_A, B, with_transpose: bool = True) -> BlockCycli
     )
 
 
-def factorize_block_cyclic_banded(band, with_transpose: bool = True) -> BlockCyclicFactor:
+def factorize_block_cyclic_banded(
+    band, with_transpose: bool = True, with_forward: bool = True
+) -> BlockCyclicFactor:
     """Cyclic reduction from (nb, s, 3s) band storage."""
     s = band.shape[1]
     return factorize_block_cyclic(
@@ -371,6 +382,7 @@ def factorize_block_cyclic_banded(band, with_transpose: bool = True) -> BlockCyc
         band[:, :, :s],
         band[:, :, 2 * s :],
         with_transpose=with_transpose,
+        with_forward=with_forward,
     )
 
 

@@ -198,6 +198,29 @@ class TestBlockCyclic:
         with pytest.raises(AssertionError):
             fac.solve(jnp.ones(12), trans=True)
 
+    def test_adjoint_only(self):
+        """with_forward=False: transpose solves match the full factorization,
+        forward solves assert (Jacobian materialization's factor mode)."""
+        from hippyflow_tpu.ops import factorize_block_cyclic
+
+        rng = np.random.RandomState(5)
+        nb, s = 6, 4
+        D = rng.randn(nb, s, s) + 4.0 * np.eye(s)
+        L = 0.3 * rng.randn(nb, s, s)
+        B = 0.3 * rng.randn(nb, s, s)
+        L[0] = 0.0
+        B[-1] = 0.0
+        args = (jnp.asarray(D), jnp.asarray(L), jnp.asarray(B))
+        fac_full = factorize_block_cyclic(*args, with_transpose=True)
+        fac_adj = factorize_block_cyclic(*args, with_forward=False)
+        b = jnp.asarray(rng.randn(nb * s, 3))
+        np.testing.assert_array_equal(
+            np.asarray(fac_adj.solve(b, trans=True)),
+            np.asarray(fac_full.solve(b, trans=True)),
+        )
+        with pytest.raises(AssertionError):
+            fac_adj.solve(b)
+
 
 class TestPallasInverse:
     """Gauss-Jordan Pallas kernel (interpret mode on CPU) vs jnp.linalg.inv."""
