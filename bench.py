@@ -202,6 +202,9 @@ def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str,
     jac_chunk = int(os.environ.get("BENCH_JAC_CHUNK", 0)) or jac_chunk_default
     if jac_chunk is not None:
         params["jac_chunk_size"] = min(jac_chunk, n_samples)
+    # overlap the (m, q) dataset readback with the sampling chunks
+    # themselves (each chunk's transfer starts as soon as it converges)
+    params["prefetch_host"] = save_data
     log("warmup pass (compiles all programs) ...")
     t0 = time.time()
     warm = ActiveSubspaceProjector(obs, prior, parameters=params)
@@ -230,16 +233,8 @@ def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str,
     proj._ensure_samples()
     jax.block_until_ready(proj.samples.us)
     stages["forward_s"] = time.time() - t_start
-    if save_data:
-        # The (m, q) dataset is final as soon as sampling ends: start its
-        # device->host transfers NOW so they ride the tunnel while the
-        # Jacobian/GHEP stages execute, instead of serializing after them
-        # (VERDICT r2 weak item 2: 3 s of the 9 s headline was this tail).
-        for arr in (proj.samples.ms, proj.samples.qs):
-            try:
-                arr.copy_to_host_async()
-            except Exception:
-                pass
+    # (m, q) transfers have been in flight since each sampling chunk
+    # converged (prefetch_host); nothing to kick off here.
     # Stage 2+3: Jacobian materialization + randomized GHEP (async dispatch;
     # drain each to attribute time honestly — they are data-dependent, so
     # the barriers cost nothing).
@@ -255,10 +250,19 @@ def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str,
     t4 = time.time()
     if save_data:
         os.makedirs(BENCH_DIR, exist_ok=True)
+        chunks = proj.samples.host_chunks
+        if chunks:
+            # np.asarray on the per-chunk arrays reuses the transfers that
+            # started as each chunk converged
+            m_data = np.concatenate([np.asarray(c[0]) for c in chunks])
+            q_data = np.concatenate([np.asarray(c[1]) for c in chunks])
+        else:
+            m_data = np.asarray(proj.samples.ms)
+            q_data = np.asarray(proj.samples.qs)
         np.savez(
             os.path.join(BENCH_DIR, "confusion_mq_data.npz"),
-            m_data=np.asarray(proj.samples.ms),
-            q_data=np.asarray(proj.samples.qs),
+            m_data=m_data,
+            q_data=q_data,
         )
         np.save(os.path.join(BENCH_DIR, "AS_input_decoder.npy"), np.asarray(dec))
     stages["save_s"] = time.time() - t4

@@ -52,6 +52,48 @@ def _affine_compose(a, b):
     )
 
 
+def _prefix_compose(G, c):
+    """Inclusive prefix composition of affine maps along axis 0, hand-rolled
+    odd/even recursion (the lax.associative_scan lowering miscompiles at
+    batch 256 on TPU; this uses only the strided-slice + batched-einsum
+    idiom of `_cr_reduce`).  Returns (Gp, cp): (Gp_j, cp_j) = e_j o ... o e_0.
+    Work ~2n composes, depth 2 log2(n)."""
+    n = G.shape[0]
+    if n == 1:
+        return G, c
+    Ge, ce = G[0::2], c[0::2]
+    Go, co = G[1::2], c[1::2]
+    ne, no = Ge.shape[0], Go.shape[0]
+    # pair_k = e_{2k+1} o e_{2k}
+    Fg, Fc = _prefix_compose(*_affine_compose((Ge[:no], ce[:no]), (Go, co)))
+    # odd outputs are the pair prefixes; even outputs:
+    # y_0 = e_0, y_{2k} = e_{2k} o F_{k-1}
+    Gev2, cev2 = _affine_compose((Fg[: ne - 1], Fc[: ne - 1]), (Ge[1:], ce[1:]))
+    Gev = jnp.concatenate([Ge[:1], Gev2], axis=0)
+    cev = jnp.concatenate([ce[:1], cev2], axis=0)
+    Gout = jnp.zeros_like(G)
+    cout = jnp.zeros_like(c)
+    Gout = Gout.at[0::2].set(Gev).at[1::2].set(Fg)
+    cout = cout.at[0::2].set(cev).at[1::2].set(Fc)
+    return Gout, cout
+
+
+def thomas_trans_solve_prefix(f: InverseThomasFactor, b):
+    """Like thomas_trans_solve_assoc but with the hand-rolled prefix."""
+    nb, s = f.nb, f.s
+    bb = b.reshape(nb, s, -1)
+    DinvT = jnp.swapaxes(f.Dinv, -1, -2)
+    BT = jnp.swapaxes(f.B, -1, -2)
+    MT = jnp.swapaxes(f.M, -1, -2)
+    c = jnp.einsum("kij,kjl->kil", DinvT, bb)
+    G = -jnp.einsum("kij,kjl->kil", DinvT[1:], BT[:-1])
+    G = jnp.concatenate([jnp.zeros_like(G[:1]), G], axis=0)
+    _, z = _prefix_compose(G, c)
+    H = -jnp.concatenate([MT[1:], jnp.zeros_like(MT[:1])], axis=0)[::-1]
+    _, xr = _prefix_compose(H, z[::-1])
+    return xr[::-1].reshape(nb * s, -1)
+
+
 def thomas_trans_solve_assoc(f: InverseThomasFactor, b):
     """A^T x = b via two parallel-prefix bidiagonal sweeps. b: (n, k)."""
     nb, s = f.nb, f.s
@@ -82,12 +124,20 @@ def main():
             int(os.environ.get("PROBE_BATCH", 256)),
             int(os.environ.get("PROBE_K", 100)),
         )
+    nb = int(os.environ.get("PROBE_NB", nb))
+    s = int(os.environ.get("PROBE_S", s))
+    Bn = int(os.environ.get("PROBE_BATCH", Bn))
+    k = int(os.environ.get("PROBE_K", k))
+    force_f32 = os.environ.get("PROBE_F32", "0") == "1"
     band = 0.25 * rng.randn(Bn, nb, s, 3 * s)
     for i in range(Bn):
         band[i, :, :, s : 2 * s] += 4.0 * np.eye(s)
         band[i, 0, :, :s] = 0.0
         band[i, -1, :, 2 * s :] = 0.0
-    band = jnp.asarray(band, dtype=jnp.float64 if ON_CPU else jnp.float32)
+    band = jnp.asarray(
+        band,
+        dtype=jnp.float32 if (force_f32 or not ON_CPU) else jnp.float64,
+    )
     rhs = jnp.asarray(
         rng.randn(Bn, nb * s, k), dtype=band.dtype
     )
@@ -101,19 +151,29 @@ def main():
         )
     )
     solve_assoc = jax.jit(jax.vmap(thomas_trans_solve_assoc))
+    solve_prefix = jax.jit(jax.vmap(thomas_trans_solve_prefix))
     solve_cr = jax.jit(jax.vmap(lambda f, r: f.solve(r, trans=True)))
     solve_seq = jax.jit(jax.vmap(lambda f, r: f.solve(r, trans=True)))
 
     ft = fac_thomas(band)
     fc = fac_cr_adj(band)
-    x_assoc = solve_assoc(ft, rhs)
     x_cr = solve_cr(fc, rhs)
     x_seq = solve_seq(ft, rhs)
-    err_vs_cr = float(jnp.max(jnp.abs(x_assoc - x_cr)) / jnp.max(jnp.abs(x_cr)))
-    err_vs_seq = float(jnp.max(jnp.abs(x_assoc - x_seq)) / jnp.max(jnp.abs(x_seq)))
-    print(f"assoc vs CR rel err:  {err_vs_cr:.3e}")
-    print(f"assoc vs seq rel err: {err_vs_seq:.3e}")
+    x_prefix = solve_prefix(ft, rhs)
+    err_p_cr = float(jnp.max(jnp.abs(x_prefix - x_cr)) / jnp.max(jnp.abs(x_cr)))
+    err_p_seq = float(jnp.max(jnp.abs(x_prefix - x_seq)) / jnp.max(jnp.abs(x_seq)))
+    print(f"prefix vs CR rel err:  {err_p_cr:.3e}")
+    print(f"prefix vs seq rel err: {err_p_seq:.3e}")
+    if os.environ.get("PROBE_ASSOC", "0") == "1":
+        x_assoc = solve_assoc(ft, rhs)
+        err_vs_cr = float(jnp.max(jnp.abs(x_assoc - x_cr)) / jnp.max(jnp.abs(x_cr)))
+        err_vs_seq = float(jnp.max(jnp.abs(x_assoc - x_seq)) / jnp.max(jnp.abs(x_seq)))
+        print(f"assoc vs CR rel err:  {err_vs_cr:.3e}")
+        print(f"assoc vs seq rel err: {err_vs_seq:.3e}")
+    x_assoc = x_prefix
     if ON_CPU:
+        if force_f32:
+            return
         # dense reference
         for i in range(Bn):
             A = np.zeros((nb * s, nb * s))
@@ -143,10 +203,10 @@ def main():
     print(f"\nnb={nb} s={s} batch={Bn} k={k}")
     t_ft = timed("thomas factorization", fac_thomas, band)
     t_fc = timed("CR adjoint-only factorization", fac_cr_adj, band)
-    t_sa = timed("assoc trans solve (thomas factors)", solve_assoc, ft, rhs)
+    t_sp = timed("prefix trans solve (thomas factors)", solve_prefix, ft, rhs)
     t_sc = timed("CR trans solve", solve_cr, fc, rhs)
     print(
-        f"\njac-stage factor+solve: thomas+assoc {1e3 * (t_ft + t_sa):.0f} ms"
+        f"\njac-stage factor+solve: thomas+prefix {1e3 * (t_ft + t_sp):.0f} ms"
         f"  vs  CR {1e3 * (t_fc + t_sc):.0f} ms"
     )
 

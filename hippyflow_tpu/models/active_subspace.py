@@ -83,6 +83,13 @@ def ActiveSubspaceParameterList() -> ParameterList:
                 "set smaller when the dQ-rhs adjoint solves need more memory "
                 "per sample than the forward Newton solves)",
             ],
+            "prefetch_host": [
+                False,
+                "start per-chunk (m, q) device->host transfers as soon as "
+                "each sampling chunk converges, overlapping the dataset "
+                "readback with the remaining chunks' compute (for callers "
+                "that save the dataset afterwards)",
+            ],
             "seed": [0, "PRNG seed for sampling and probes"],
             "reset_initial_guess": [
                 False,
@@ -161,6 +168,7 @@ class ActiveSubspaceProjector:
             verbose=self.parameters["verbose"],
             collective=self.collective,
             reset_initial_guess=self.parameters["reset_initial_guess"],
+            prefetch_host=self.parameters["prefetch_host"],
         )
         if self.parameters["verbose"]:
             print(

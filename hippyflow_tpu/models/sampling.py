@@ -101,6 +101,11 @@ class SampleBatch:
     # parameters whose forward solve did not converge (resampled lanes),
     # for the reference's skipped/-archive (`dataGenerator.py:232-241`)
     failed_ms: np.ndarray | None = None
+    # with prefetch_host: the per-chunk (m, q, z|None) device arrays whose
+    # host transfers were started as each chunk finalized — np.asarray on
+    # these reuses the in-flight copy instead of re-fetching the
+    # concatenated buffers
+    host_chunks: list | None = None
 
 
 def sample_until_solved(
@@ -114,6 +119,7 @@ def sample_until_solved(
     verbose: bool = False,
     collective=None,
     reset_initial_guess: bool = False,
+    prefetch_host: bool = False,
 ) -> SampleBatch:
     """Draw n_samples prior samples with converged forward solves.
 
@@ -208,8 +214,17 @@ def sample_until_solved(
         if with_control:
             z = shard(control_distribution.sample_n(keychain.next_key(), b))
         u0 = None
-        if warm_start and u_prev is not None and u_prev.shape[0] >= b:
-            u0 = u_prev[:b]
+        if warm_start:
+            # the first chunk cold-starts via an explicit zero initial
+            # guess — bitwise-identical to u0=None (pde_problem.py:460-462)
+            # but it reuses the SAME compiled warm-start program as every
+            # later chunk, instead of compiling a second no-u0 Newton
+            # variant (the Newton program is the most expensive compile:
+            # several hundred seconds at nx=192 over the tunnel)
+            if u_prev is not None and u_prev.shape[0] >= b:
+                u0 = u_prev[:b]
+            else:
+                u0 = jnp.zeros((b, problem.state_dim), dtype=dtype)
         m, u, q, ok = solve_chunk(noise, z, u0)
         if warm_start:
             # sanitize the carried states: a diverged/failed lane must not
@@ -226,6 +241,7 @@ def sample_until_solved(
     # failed lanes only (rare: rough prior draws that broke Newton).
     ms_out, us_out, qs_out, zs_out = [], [], [], []
     failed_ms = []
+    host_chunks = [] if prefetch_host else None
     n_failures = 0
     for m, u, q, z, ok in chunks:
         ok = np.asarray(ok)
@@ -256,6 +272,19 @@ def sample_until_solved(
             raise RuntimeError(
                 f"{(~ok).sum()} forward solves failed after {max_tries} resampling sweeps"
             )
+        if prefetch_host:
+            # start this chunk's (m, q) device->host transfers NOW — the
+            # arrays are final once the convergence check passes, and the
+            # remaining chunks are still executing, so the transfer rides
+            # under their compute instead of serializing into the caller's
+            # save stage (over a tunneled TPU the m-dataset transfer alone
+            # is ~1 s at nx=64 N=1024)
+            for arr in (m, q) if z is None else (m, q, z):
+                try:
+                    arr.copy_to_host_async()
+                except Exception:
+                    pass
+            host_chunks.append((m, q, z))
         ms_out.append(m)
         us_out.append(u)
         qs_out.append(q)
@@ -269,6 +298,7 @@ def sample_until_solved(
         zs=jnp.concatenate(zs_out) if with_control else None,
         n_failures=n_failures,
         failed_ms=np.concatenate(failed_ms) if failed_ms else None,
+        host_chunks=host_chunks,
     )
 
 
