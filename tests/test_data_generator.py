@@ -212,3 +212,55 @@ def test_failed_solve_archival(tmp_path):
     assert skipped, "no skipped archive written"
     arr = np.load(skipped[0])
     assert arr.ndim == 2 and arr.shape[1] == V.dim
+
+
+def test_prefetch_host_chunks_match_concatenated():
+    """prefetch_host=True exposes per-chunk (m, q, z) host transfers that
+    reassemble bitwise-identically to the concatenated SampleBatch arrays
+    (and to a prefetch_host=False run with the same keys)."""
+    import jax.numpy as jnp
+
+    from hippyflow_tpu.fem import FunctionSpace, unit_square_mesh
+    from hippyflow_tpu.models import BiLaplacianPrior
+    from hippyflow_tpu.models.pde_problem import NewtonInfo
+    from hippyflow_tpu.models.sampling import sample_until_solved
+    from hippyflow_tpu.utils import KeyChain
+
+    V = FunctionSpace(unit_square_mesh(6))
+    prior = BiLaplacianPrior(V, gamma=0.1, delta=1.0)
+
+    class LinearStub:
+        state_dim = V.dim
+        Vu = V
+        is_fwd_linear = True
+
+        def solve_fwd(self, m, z=None, u0=None):
+            info = NewtonInfo(
+                converged=jnp.asarray(True),
+                iterations=jnp.asarray(1),
+                residual_norm=jnp.asarray(0.0),
+            )
+            return 2.0 * m, info
+
+    class StubObservable:
+        problem = LinearStub()
+
+        def evalu(self, u):
+            return u[:5]
+
+    obs = StubObservable()
+    batch = sample_until_solved(
+        obs, prior, KeyChain(7), 12, chunk_size=5, prefetch_host=True
+    )
+    assert batch.host_chunks is not None
+    assert [c[0].shape[0] for c in batch.host_chunks] == [5, 5, 2]
+    m_cat = np.concatenate([np.asarray(c[0]) for c in batch.host_chunks])
+    q_cat = np.concatenate([np.asarray(c[1]) for c in batch.host_chunks])
+    assert all(c[2] is None for c in batch.host_chunks)
+    np.testing.assert_array_equal(m_cat, np.asarray(batch.ms))
+    np.testing.assert_array_equal(q_cat, np.asarray(batch.qs))
+
+    plain = sample_until_solved(obs, prior, KeyChain(7), 12, chunk_size=5)
+    assert plain.host_chunks is None
+    np.testing.assert_array_equal(np.asarray(plain.ms), np.asarray(batch.ms))
+    np.testing.assert_array_equal(np.asarray(plain.qs), np.asarray(batch.qs))
