@@ -129,18 +129,32 @@ def main():
     Bn = int(os.environ.get("PROBE_BATCH", Bn))
     k = int(os.environ.get("PROBE_K", k))
     force_f32 = os.environ.get("PROBE_F32", "0") == "1"
-    band = 0.25 * rng.randn(Bn, nb, s, 3 * s)
-    for i in range(Bn):
-        band[i, :, :, s : 2 * s] += 4.0 * np.eye(s)
-        band[i, 0, :, :s] = 0.0
-        band[i, -1, :, 2 * s :] = 0.0
-    band = jnp.asarray(
-        band,
-        dtype=jnp.float32 if (force_f32 or not ON_CPU) else jnp.float64,
-    )
-    rhs = jnp.asarray(
-        rng.randn(Bn, nb * s, k), dtype=band.dtype
-    )
+    dtype = jnp.float32 if (force_f32 or not ON_CPU) else jnp.float64
+    if ON_CPU:
+        band = 0.25 * rng.randn(Bn, nb, s, 3 * s)
+        for i in range(Bn):
+            band[i, :, :, s : 2 * s] += 4.0 * np.eye(s)
+            band[i, 0, :, :s] = 0.0
+            band[i, -1, :, 2 * s :] = 0.0
+        band = jnp.asarray(band, dtype=dtype)
+        rhs = jnp.asarray(rng.randn(Bn, nb * s, k), dtype=band.dtype)
+    else:
+        # build ON DEVICE: a host-built band is ~1 GB at batch 256 and the
+        # tunnel upload dominates (or wedges) the whole probe
+        @jax.jit
+        def make_band(key):
+            bd = 0.25 * jax.random.normal(key, (Bn, nb, s, 3 * s), dtype=dtype)
+            bd = bd.at[:, :, :, s : 2 * s].add(4.0 * jnp.eye(s, dtype=dtype))
+            bd = bd.at[:, 0, :, :s].set(0.0)
+            bd = bd.at[:, -1, :, 2 * s :].set(0.0)
+            return bd
+
+        band = make_band(jax.random.PRNGKey(0))
+        rhs = jax.random.normal(
+            jax.random.PRNGKey(1), (Bn, nb * s, k), dtype=dtype
+        )
+        jax.block_until_ready(band)
+        print("band built on device", flush=True)
 
     fac_thomas = jax.jit(jax.vmap(factorize_thomas_inv_banded))
     fac_cr_adj = jax.jit(
@@ -204,9 +218,11 @@ def main():
     t_ft = timed("thomas factorization", fac_thomas, band)
     t_fc = timed("CR adjoint-only factorization", fac_cr_adj, band)
     t_sp = timed("prefix trans solve (thomas factors)", solve_prefix, ft, rhs)
+    t_sq = timed("seq trans solve (thomas factors)", solve_seq, ft, rhs)
     t_sc = timed("CR trans solve", solve_cr, fc, rhs)
     print(
         f"\njac-stage factor+solve: thomas+prefix {1e3 * (t_ft + t_sp):.0f} ms"
+        f"  vs  thomas+seq {1e3 * (t_ft + t_sq):.0f} ms"
         f"  vs  CR {1e3 * (t_fc + t_sc):.0f} ms"
     )
 
