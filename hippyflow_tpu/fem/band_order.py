@@ -108,7 +108,7 @@ def ordered_band_indices(stacked_cell_dofs: np.ndarray, border: BandOrder):
     return p1 * (3 * s) + o * s + (p2 % s)
 
 
-def ordered_band_mask(mask: np.ndarray, border: BandOrder, ncomp: int = 1):
+def ordered_band_mask(mask: np.ndarray, border: BandOrder):
     """(nb*s,) Dirichlet mask in band order; pad positions are marked
     constrained so pad rows factorize as identity."""
     m = np.asarray(mask, dtype=bool)

@@ -201,8 +201,8 @@ class ActiveSubspaceProjector:
             problem = self.observable.problem
             n = s.ms.shape[0]
             has_z = s.zs is not None
-            # One dispatch per operator application: a lax.map scan over the
-            # stacked (m, u[, z]) samples re-linearizes inside the traced
+            # One dispatch per operator application: a chunked lax.scan over
+            # the stacked (m, u[, z]) samples re-linearizes inside the traced
             # loop, so memory stays at ~serialized_chunk live factorizations
             # while the reference's per-sample python loop (one jit dispatch
             # per sample per apply, ~2000 dispatches per doublePassG pass at
@@ -212,25 +212,52 @@ class ActiveSubspaceProjector:
             chunk = max(1, min(self.parameters["chunk_size"] or 16, n))
 
             def run(ms, us, zs, X):
-                def body(args):
-                    m, u, z = args
-                    lin = problem.linearize(u, m, z)
+                def one(m, u, z):
+                    lin = problem.linearize(u, m, z if has_z else None)
                     if operation == "JTJ":
                         return J.transpmult(lin, J.mult(lin, X))
                     return J.mult(lin, J.transpmult(lin, X))
 
+                # Scan over chunks with an ACCUMULATING carry: peak memory is
+                # one chunk of factorizations + results, never the stacked
+                # (n, dM, k) buffer a lax.map would materialize before the
+                # sum (~10 GB at reference scale n=512, dM=37k, k=132).
                 zz = zs if has_z else jnp.zeros((n, 0), dtype=ms.dtype)
-                Ys = jax.lax.map(
-                    lambda a: body((a[0], a[1], a[2] if has_z else None)),
-                    (ms, us, zz),
-                    batch_size=chunk,
+                n_pad = (-n) % chunk
+                w = jnp.concatenate(
+                    [jnp.ones(n, X.dtype), jnp.zeros(n_pad, X.dtype)]
                 )
-                return jnp.sum(Ys, axis=0) / n
+
+                def pad(a):
+                    if n_pad == 0:
+                        return a
+                    reps = jnp.broadcast_to(a[:1], (n_pad,) + a.shape[1:])
+                    return jnp.concatenate([a, reps], axis=0)
+
+                def to_chunks(a):
+                    return pad(a).reshape((n + n_pad) // chunk, chunk, *a.shape[1:])
+
+                def body(acc, args):
+                    mc, uc, zc, wc = args
+                    Yc = jax.vmap(one)(mc, uc, zc)
+                    return acc + jnp.einsum("c,c...->...", wc, Yc), None
+
+                acc0 = jnp.zeros(X.shape, X.dtype)
+                n_chunks = (n + n_pad) // chunk
+                acc, _ = jax.lax.scan(
+                    body,
+                    acc0,
+                    (to_chunks(ms), to_chunks(us), to_chunks(zz),
+                     w.reshape(n_chunks, chunk)),  # w is already padded
+                )
+                return acc / n
 
             cache = _jit_cache(self.observable)
 
             def matmat(X):
-                ck = ("serialized", operation, n, X.shape, str(X.dtype))
+                ck = (
+                    "serialized", operation, n, chunk, X.shape, str(X.dtype)
+                )
                 if ck not in cache:
                     zz_ex = jax.ShapeDtypeStruct(
                         s.zs.shape if has_z else (n, 0), s.ms.dtype

@@ -321,7 +321,13 @@ class DataGenerator:
         u_data = jnp.asarray(data["q_data"])  # full-state observable: q == u
         z_data = jnp.asarray(data["z_data"]) if "z_data" in data else None
 
+        # from-scratch loop: clear any leftover chunks (an interrupted run
+        # with a different chunk grid would otherwise leave stale files that
+        # fail — or worse, pass — tiling validation at compress time)
         chunk_dir = os.path.join(data_dir, "chunks_J")
+        import shutil
+
+        shutil.rmtree(chunk_dir, ignore_errors=True)
         os.makedirs(chunk_dir, exist_ok=True)
         chunk_size = self.settings["chunk_size"] or auto_chunk_size(
             self.observable.problem.state_dim,

@@ -172,8 +172,18 @@ class PODProjector:
 
         # resume at the first gap; stale chunks beyond it (possibly from a
         # different chunk grid) are deleted so the final concatenation
-        # cannot duplicate samples
-        i = prune_stale_chunks(chunk_dir) if check_for_data else 0
+        # cannot duplicate samples.  A from-scratch run (check_for_data=
+        # False) must clear the directory outright: leftover chunks from an
+        # earlier grid would otherwise fail tiling validation only AFTER
+        # the full regeneration.
+        if check_for_data:
+            i = prune_stale_chunks(chunk_dir)
+        else:
+            import shutil
+
+            shutil.rmtree(chunk_dir, ignore_errors=True)
+            os.makedirs(chunk_dir, exist_ok=True)
+            i = 0
         if i > 0 and self.parameters["verbose"]:
             print(f"resuming training-data generation at sample {i}")
         while i < n:
