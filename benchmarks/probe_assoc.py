@@ -169,15 +169,20 @@ def main():
     solve_cr = jax.jit(jax.vmap(lambda f, r: f.solve(r, trans=True)))
     solve_seq = jax.jit(jax.vmap(lambda f, r: f.solve(r, trans=True)))
 
+    with_prefix = os.environ.get("PROBE_PREFIX", "0") == "1"
     ft = fac_thomas(band)
     fc = fac_cr_adj(band)
     x_cr = solve_cr(fc, rhs)
     x_seq = solve_seq(ft, rhs)
-    x_prefix = solve_prefix(ft, rhs)
-    err_p_cr = float(jnp.max(jnp.abs(x_prefix - x_cr)) / jnp.max(jnp.abs(x_cr)))
-    err_p_seq = float(jnp.max(jnp.abs(x_prefix - x_seq)) / jnp.max(jnp.abs(x_seq)))
-    print(f"prefix vs CR rel err:  {err_p_cr:.3e}")
-    print(f"prefix vs seq rel err: {err_p_seq:.3e}")
+    err_s_cr = float(jnp.max(jnp.abs(x_seq - x_cr)) / jnp.max(jnp.abs(x_cr)))
+    print(f"seq vs CR rel err:     {err_s_cr:.3e}")
+    x_prefix = x_seq
+    if with_prefix:
+        x_prefix = solve_prefix(ft, rhs)
+        err_p_cr = float(jnp.max(jnp.abs(x_prefix - x_cr)) / jnp.max(jnp.abs(x_cr)))
+        err_p_seq = float(jnp.max(jnp.abs(x_prefix - x_seq)) / jnp.max(jnp.abs(x_seq)))
+        print(f"prefix vs CR rel err:  {err_p_cr:.3e}")
+        print(f"prefix vs seq rel err: {err_p_seq:.3e}")
     if os.environ.get("PROBE_ASSOC", "0") == "1":
         x_assoc = solve_assoc(ft, rhs)
         err_vs_cr = float(jnp.max(jnp.abs(x_assoc - x_cr)) / jnp.max(jnp.abs(x_cr)))
@@ -217,14 +222,17 @@ def main():
     print(f"\nnb={nb} s={s} batch={Bn} k={k}")
     t_ft = timed("thomas factorization", fac_thomas, band)
     t_fc = timed("CR adjoint-only factorization", fac_cr_adj, band)
-    t_sp = timed("prefix trans solve (thomas factors)", solve_prefix, ft, rhs)
+    if with_prefix:
+        t_sp = timed("prefix trans solve (thomas factors)", solve_prefix, ft, rhs)
     t_sq = timed("seq trans solve (thomas factors)", solve_seq, ft, rhs)
     t_sc = timed("CR trans solve", solve_cr, fc, rhs)
-    print(
-        f"\njac-stage factor+solve: thomas+prefix {1e3 * (t_ft + t_sp):.0f} ms"
-        f"  vs  thomas+seq {1e3 * (t_ft + t_sq):.0f} ms"
+    msg = (
+        f"\njac-stage factor+solve: thomas+seq {1e3 * (t_ft + t_sq):.0f} ms"
         f"  vs  CR {1e3 * (t_fc + t_sc):.0f} ms"
     )
+    if with_prefix:
+        msg += f"  vs  thomas+prefix {1e3 * (t_ft + t_sp):.0f} ms"
+    print(msg)
 
 
 if __name__ == "__main__":

@@ -291,3 +291,77 @@ def test_blocked_inverse_variants_match_lu():
         np.asarray(_small_gj_inverse(S)), np.asarray(jnp.linalg.inv(S)),
         rtol=1e-9, atol=1e-10,
     )
+
+
+class TestInverseThomas:
+    """`factorize_thomas_inv_banded` (the default forward structured
+    factorization since the usage-split, `pde_problem.py:233-248`) agrees
+    with dense solves in BOTH directions — its trans solve is what a
+    Thomas-factored Jacobian stage would ride."""
+
+    @pytest.mark.parametrize("nb,s", [(1, 4), (2, 3), (5, 4), (8, 3), (65, 5)])
+    def test_matches_dense_fwd_and_trans(self, nb, s):
+        from hippyflow_tpu.ops.structured import factorize_thomas_inv_banded
+
+        rng = np.random.RandomState(nb * 77 + s)
+        n = nb * s
+        D = rng.randn(nb, s, s) + 4.0 * np.eye(s)
+        L = 0.3 * rng.randn(nb, s, s)
+        B = 0.3 * rng.randn(nb, s, s)
+        L[0] = 0.0
+        B[-1] = 0.0
+        A = np.zeros((n, n))
+        for j in range(nb):
+            A[j * s : (j + 1) * s, j * s : (j + 1) * s] = D[j]
+            if j > 0:
+                A[j * s : (j + 1) * s, (j - 1) * s : j * s] = L[j]
+            if j < nb - 1:
+                A[j * s : (j + 1) * s, (j + 1) * s : (j + 2) * s] = B[j]
+        band = jnp.concatenate(
+            [jnp.asarray(L), jnp.asarray(D), jnp.asarray(B)], axis=-1
+        )
+
+        fac = factorize_thomas_inv_banded(band)
+        b = rng.randn(n)
+        np.testing.assert_allclose(
+            np.asarray(fac.solve(jnp.asarray(b))),
+            np.linalg.solve(A, b), rtol=1e-9, atol=1e-10,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fac.solve(jnp.asarray(b), trans=True)),
+            np.linalg.solve(A.T, b), rtol=1e-9, atol=1e-10,
+        )
+        Bk = rng.randn(n, 7)
+        np.testing.assert_allclose(
+            np.asarray(fac.solve(jnp.asarray(Bk), trans=True)),
+            np.linalg.solve(A.T, Bk), rtol=1e-9, atol=1e-10,
+        )
+
+    def test_vmap_and_cr_agreement(self):
+        """vmapped Thomas factors match vmapped CR on a batch of bands
+        (the production composition: jax.vmap over the sample axis)."""
+        from hippyflow_tpu.ops.structured import (
+            factorize_block_cyclic_banded,
+            factorize_thomas_inv_banded,
+        )
+
+        rng = np.random.RandomState(5)
+        Bn, nb, s = 3, 9, 4
+        band = 0.3 * rng.randn(Bn, nb, s, 3 * s)
+        for i in range(Bn):
+            band[i, :, :, s : 2 * s] += 4.0 * np.eye(s)
+            band[i, 0, :, :s] = 0.0
+            band[i, -1, :, 2 * s :] = 0.0
+        band = jnp.asarray(band)
+        rhs = jnp.asarray(rng.randn(Bn, nb * s, 6))
+
+        ft = jax.vmap(factorize_thomas_inv_banded)(band)
+        fc = jax.vmap(
+            lambda bd: factorize_block_cyclic_banded(bd, with_transpose=True)
+        )(band)
+        for trans in (False, True):
+            xt = jax.vmap(lambda f, r: f.solve(r, trans=trans))(ft, rhs)
+            xc = jax.vmap(lambda f, r: f.solve(r, trans=trans))(fc, rhs)
+            np.testing.assert_allclose(
+                np.asarray(xt), np.asarray(xc), rtol=1e-9, atol=1e-10
+            )
