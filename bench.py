@@ -181,7 +181,15 @@ def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str,
 
     log(f"devices: {jax.devices()}")
     vel = get_ns_velocity(nx) if velocity is None else velocity
-    obs, Vh = confusion_linear_observable(nx=nx, velocity=vel)
+    # BENCH_SOLVER overrides the usage-split 'auto' factorization choice
+    # for A/B runs (e.g. BENCH_SOLVER=thomas_inv makes the Jacobian stage
+    # ride the Thomas factors' trans solve instead of CR)
+    solver_kw = (
+        {"solver": os.environ["BENCH_SOLVER"]}
+        if os.environ.get("BENCH_SOLVER")
+        else {}
+    )
+    obs, Vh = confusion_linear_observable(nx=nx, velocity=vel, **solver_kw)
     prior = confusion_prior(Vh)
     params = ActiveSubspaceParameterList()
     params["rank"] = rank
@@ -344,7 +352,12 @@ def run_helmholtz_lane():
     nx = int(os.environ.get("BENCH_HELM_NX", 64))
     n_samples = int(os.environ.get("BENCH_HELM_SAMPLES", 32))
     rank = int(os.environ.get("BENCH_HELM_RANK", 128))
-    obs, Vh = helmholtz_linear_observable(nx=nx, frequency=600.0)
+    solver_kw = (
+        {"solver": os.environ["BENCH_SOLVER"]}
+        if os.environ.get("BENCH_SOLVER")
+        else {}
+    )
+    obs, Vh = helmholtz_linear_observable(nx=nx, frequency=600.0, **solver_kw)
     prior = helmholtz_prior(Vh)
     log(
         f"helmholtz lane: nx={nx} state={obs.problem.state_dim} "
