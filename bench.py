@@ -68,6 +68,8 @@ NX192_SAMPLES = int(os.environ.get("BENCH_NX192_SAMPLES", 256))
 NX192_RANK = int(os.environ.get("BENCH_NX192_RANK", 128))
 NX192_BASELINE_SAMPLES = int(os.environ.get("BENCH_NX192_BASELINE_SAMPLES", 2))
 BASELINE192_CACHE = os.path.join(BENCH_DIR, "baseline_nx192.json")
+HELM_BASELINE_SAMPLES = int(os.environ.get("BENCH_HELM_BASELINE_SAMPLES", 2))
+BASELINE_HELM_CACHE = os.path.join(BENCH_DIR, "baseline_helmholtz.json")
 
 
 def log(*a):
@@ -703,6 +705,149 @@ def run_baseline192_worker(n_samples: int, rank: int) -> dict:
     return {"seconds": elapsed}
 
 
+def run_baseline_helm_worker(n_samples: int, rank: int) -> dict:
+    """Print one JSON line {"seconds": s} for the HELMHOLTZ CPU baseline.
+
+    Reference-style execution (`helmholtz_problem_setup.py:42-55`): serial
+    sample loop at 600 Hz, scipy superLU on the sparse PML operator (the
+    reference's MUMPS LU), per-probe-column incremental J/J^T solves inside
+    prior-preconditioned doublePassG at rank 128.  The operator is
+    assembled through the same interleaved ordered band the library uses
+    and converted to CSR; C actions are matrix-free jvp/vjp (fewer flops
+    than the reference's assembled C — generous to the baseline)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from applications.helmholtz import helmholtz_linear_observable, helmholtz_prior
+    from hippyflow_tpu.fem import bc_symmetrize_banded_masked
+
+    nx = int(os.environ.get("BENCH_HELM_NX", 64))
+    obs, Vh = helmholtz_linear_observable(nx=nx, frequency=600.0)
+    prior = helmholtz_prior(Vh)
+    problem = obs.problem
+    border = problem._band_order
+    s = border.s
+    order = np.asarray(border.order)
+    inv = np.asarray(border.inv)
+    n_state = problem.state_dim
+    n_pad = border.nb * s - n_state
+    nvec = rank + OVERSAMPLING
+
+    res_fn = jax.jit(lambda u, m: problem.residual_masked(u, m, None))
+    band_fn = jax.jit(
+        lambda m: bc_symmetrize_banded_masked(
+            problem.bound.assemble_A_banded_ordered(
+                jnp.zeros(n_state), m, None, border
+            ),
+            problem._band_mask,
+        )
+    )
+    C_mv = jax.jit(
+        lambda u, m, x: jax.jvp(
+            lambda mm: problem.residual_masked(u, mm, None), (m,), (x,)
+        )[1]
+    )
+    Ct_mv = jax.jit(
+        lambda u, m, y: jax.vjp(
+            lambda mm: problem.residual_masked(u, mm, None), m
+        )[1](y)[0]
+    )
+    Bd = np.asarray(obs.B.dense())
+    sample_fn = jax.jit(prior.sample)
+    Rmm = jax.jit(prior.R_matmat)
+    Rsolve = jax.jit(prior.Rsolver_matmat)
+    nM = Vh.dim
+    # warm the jits before the timed section (the reference pre-compiles
+    # its FFC forms too)
+    zs, zm = jnp.zeros(n_state), jnp.zeros(nM)
+    res_fn(zs, zm)
+    band_fn(zm)
+    C_mv(zs, zm, zm)
+    Ct_mv(zs, zm, zs)
+    np.asarray(sample_fn(np.zeros(nM)))
+
+    def perm(b):
+        if b.ndim == 1:
+            b = b[:, None]
+        return np.concatenate(
+            [b[order], np.zeros((n_pad, b.shape[1]), b.dtype)], axis=0
+        )
+
+    def unperm(x):
+        return x[inv]
+
+    rng = np.random.RandomState(2)
+    t0 = time.time()
+    factors, lin_pts = [], []
+    for i in range(n_samples):
+        m = np.asarray(sample_fn(jnp.asarray(rng.randn(nM))))
+        m_j = jnp.asarray(m)
+        lu = spla.splu(sp.csc_matrix(_band_to_csr(band_fn(m_j), s)))
+        # linear forward solve: A u = b with b = -residual(0, m)
+        b = -np.asarray(res_fn(zs, m_j))
+        u = unperm(lu.solve(perm(b)))[:, 0]
+        assert np.isfinite(u).all(), "helmholtz baseline solve produced NaNs"
+        factors.append(lu)
+        lin_pts.append((jnp.asarray(u), m_j))
+        log(f"  baseline_helm sample {i + 1}/{n_samples}")
+
+    def avg_JTJ(X):
+        Y = np.zeros_like(X)
+        for (u, m), lu in zip(lin_pts, factors):
+            for j in range(X.shape[1]):
+                rhs = np.asarray(C_mv(u, m, jnp.asarray(X[:, j])))
+                uhat = unperm(lu.solve(perm(rhs)))[:, 0]
+                q = Bd @ uhat
+                phat = unperm(lu.solve(perm(Bd.T @ q), trans="T"))[:, 0]
+                Y[:, j] += np.asarray(Ct_mv(u, m, jnp.asarray(phat)))
+        return Y / len(factors)
+
+    Omega = rng.randn(nM, nvec)
+    Ybar = avg_JTJ(Omega)
+    Q = np.asarray(Rsolve(jnp.asarray(Ybar)))
+    W = np.asarray(Rmm(jnp.asarray(Q)))
+    G = Q.T @ W
+    lam, V = np.linalg.eigh(0.5 * (G + G.T))
+    keep = lam > lam.max() * 1e-12
+    Q = Q @ (V[:, keep] / np.sqrt(lam[keep]))
+    AQ = avg_JTJ(Q)
+    T = Q.T @ AQ
+    np.linalg.eigvalsh(0.5 * (T + T.T))
+    elapsed = time.time() - t0
+    log(f"baseline_helm ({n_samples} samples, serial 1-core): {elapsed:.2f}s")
+    return {"seconds": elapsed}
+
+
+def get_baseline_helm() -> dict:
+    if os.path.exists(BASELINE_HELM_CACHE):
+        with open(BASELINE_HELM_CACHE) as f:
+            return json.load(f)
+    log(f"measuring helmholtz CPU baseline at {HELM_BASELINE_SAMPLES} samples ...")
+    measured = _subprocess_cpu(["--baseline-helm-worker"], timeout=7200)
+    n_lane = int(os.environ.get("BENCH_HELM_SAMPLES", 32))
+    per_sample = measured["seconds"] / HELM_BASELINE_SAMPLES
+    info = {
+        "measured_samples": HELM_BASELINE_SAMPLES,
+        "measured_seconds": measured["seconds"],
+        "per_sample_seconds": per_sample,
+        "extrapolated_seconds_1core": per_sample * n_lane,
+        "seconds_8rank": per_sample * n_lane / MPI_RANKS,
+        "nx": int(os.environ.get("BENCH_HELM_NX", 64)),
+        "rank": int(os.environ.get("BENCH_HELM_RANK", 128)),
+        "n_samples": n_lane,
+    }
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    with open(BASELINE_HELM_CACHE, "w") as f:
+        json.dump(info, f, indent=1)
+    return info
+
+
 def get_baseline192() -> dict:
     if os.path.exists(BASELINE192_CACHE):
         with open(BASELINE192_CACHE) as f:
@@ -868,6 +1013,7 @@ def main():
                     help="sample count for the baseline worker (second "
                          "measured point; skips the parity-data save)")
     ap.add_argument("--baseline192-worker", action="store_true")
+    ap.add_argument("--baseline-helm-worker", action="store_true")
     ap.add_argument("--parity-worker", action="store_true")
     ap.add_argument("--ns-worker", type=int, default=None)
     ap.add_argument("--dtype", default=os.environ.get("BENCH_DTYPE", "float32"))
@@ -885,6 +1031,12 @@ def main():
     if args.baseline192_worker:
         print(json.dumps(run_baseline192_worker(
             NX192_BASELINE_SAMPLES, NX192_RANK
+        )))
+        return
+    if args.baseline_helm_worker:
+        print(json.dumps(run_baseline_helm_worker(
+            HELM_BASELINE_SAMPLES,
+            int(os.environ.get("BENCH_HELM_RANK", 128)),
         )))
         return
     if args.parity_worker:
@@ -960,6 +1112,17 @@ def main():
                 f"nx{int(os.environ.get('BENCH_HELM_NX', 64))}_P2split"
             )
             extra["helmholtz_stages"] = stages_h
+            try:
+                b_h = get_baseline_helm()
+                extra["helmholtz_baseline_8rank_s"] = round(
+                    b_h["seconds_8rank"], 1
+                )
+                extra["helmholtz_vs_baseline"] = round(
+                    b_h["seconds_8rank"] / t_h, 2
+                )
+            except Exception as e:
+                log(f"helmholtz baseline failed: {e}")
+                extra["helmholtz_baseline_error"] = str(e)[:200]
         except Exception as e:
             log(f"helmholtz lane failed: {e}")
             extra["helmholtz_error"] = str(e)[:200]
