@@ -76,6 +76,45 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def wait_for_device(max_wait_s: int | None = None):
+    """Block until the default jax backend answers a tiny matmul.
+
+    The tunneled TPU ("axon") has transient outages during which ANY
+    device op — even `jax.devices()` — wedges indefinitely with ~0 CPU.
+    A wedged client never recovers in-process, so probe from a fresh
+    subprocess and only initialize this process's backend once a probe
+    succeeds.  Bounded (default 30 min, BENCH_DEVICE_WAIT_S) so a
+    down-tunnel bench run fails fast instead of hanging the caller."""
+    max_wait_s = max_wait_s or int(os.environ.get("BENCH_DEVICE_WAIT_S", 1800))
+    probe = (
+        "import jax, jax.numpy as jnp;"
+        "print(float((jnp.ones((16,16)) @ jnp.ones((16,16))).sum()))"
+    )
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=120, capture_output=True, text=True, cwd=REPO,
+            )
+            if out.returncode == 0 and "4096" in out.stdout:
+                if attempt > 1:
+                    log(f"device probe ok after {attempt} attempts")
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            log(
+                f"device probe failed for {max_wait_s}s — proceeding anyway "
+                "(the run will hang or fail if the device is truly gone)"
+            )
+            return False
+        log("device not responding (tunnel outage?); retrying in 60s ...")
+        time.sleep(60)
+
+
 def _subprocess_cpu(args, timeout=7200):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -1043,6 +1082,7 @@ def main():
         print(json.dumps(run_parity_worker()))
         return
 
+    wait_for_device()
     baseline = get_baseline()
     log(f"baseline(8-rank-equivalent): {baseline['seconds_8rank']:.1f}s")
     parity = {}
