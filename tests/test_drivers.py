@@ -116,3 +116,43 @@ def test_training_and_multirun_drivers(tmp_path, monkeypatch):
     with open(sweep_out, "rb") as fh:
         master = pickle.load(fh)
     assert len(master) >= 1
+
+
+def test_load_helmholtz_data_options(tmp_path):
+    """The helmholtz loader's reference options (`helmholtz_utilities.py:17-114`):
+    n_data truncation, rescale standard-scaling, derivatives bundle loading,
+    and the rescale+derivatives NotImplementedError."""
+    from applications.helmholtz_training import load_helmholtz_data
+
+    rng = np.random.default_rng(0)
+    n, dM, dQ, r = 12, 7, 5, 3
+    m = rng.normal(2.0, 3.0, (n, dM))
+    q = rng.normal(-1.0, 0.5, (n, dQ))
+    np.savez(tmp_path / "mq_data.npz", m_data=m, q_data=q)
+
+    m2, q2 = load_helmholtz_data(str(tmp_path), n_data=8)
+    assert m2.shape == (8, dM) and q2.shape == (8, dQ)
+    np.testing.assert_allclose(m2, m[:8])
+
+    ms, qs = load_helmholtz_data(str(tmp_path), rescale=True)
+    np.testing.assert_allclose(ms.mean(axis=0), 0.0, atol=1e-12)
+    np.testing.assert_allclose(ms.std(axis=0), 1.0, atol=1e-12)
+    np.testing.assert_allclose(qs.std(axis=0), 1.0, atol=1e-12)
+
+    # derivatives=True without the bundle: dict with only m/q
+    out = load_helmholtz_data(str(tmp_path), derivatives=True)
+    assert set(out) == {"m_data", "q_data"}
+
+    np.savez(
+        tmp_path / "Jsvd_data.npz",
+        U_data=rng.normal(size=(n, dQ, r)),
+        sigma_data=rng.normal(size=(n, r)),
+        V_data=rng.normal(size=(n, dM, r)),
+    )
+    out = load_helmholtz_data(str(tmp_path), derivatives=True, n_data=6)
+    assert out["U_data"].shape == (6, dQ, r)
+    assert out["sigma_data"].shape == (6, r)
+    assert out["V_data"].shape == (6, dM, r)
+
+    with pytest.raises(NotImplementedError):
+        load_helmholtz_data(str(tmp_path), rescale=True, derivatives=True)
