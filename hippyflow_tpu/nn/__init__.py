@@ -13,6 +13,7 @@ from .training import (
     train,
     l2_loss,
     make_h1_loss,
+    jstarphi_from_jsvd,
     accuracy,
     gauss_newton_cg_step,
 )

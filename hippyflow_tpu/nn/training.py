@@ -65,6 +65,25 @@ def make_h1_loss(apply_fn, input_decoder, output_encoder):
     return loss
 
 
+def jstarphi_from_jsvd(U_data, sigma_data, V_data, output_encoder):
+    """Jacobian sketches ``J_i^T Phi`` from low-rank Jacobian SVD data.
+
+    Converts the ``Jsvd_data.npz`` schema (`dataGenerator.py:187`:
+    ``J_i ~= U_i diag(s_i) V_i^T`` from accuracy-enhanced SVD) into the
+    ``JstarPhi_data.npz`` layout ``(n, dM, rQ)`` that `make_h1_loss`
+    consumes, so H1 training works from either derivative artifact — the
+    reference generates one or the other depending on whether an output
+    decoder was available at data-generation time (`dataGenerator.py:
+    170-187`).
+    """
+    U = jnp.asarray(U_data)  # (n, dQ, r)
+    s = jnp.asarray(sigma_data)  # (n, r)
+    V = jnp.asarray(V_data)  # (n, dM, r)
+    Phi = jnp.asarray(output_encoder)  # (dQ, rQ)
+    UtPhi = jnp.einsum("nqr,qp->nrp", U, Phi)
+    return jnp.einsum("nmr,nrp->nmp", V, s[:, :, None] * UtPhi)
+
+
 def accuracy(apply_fn, params, m, q):
     pred = apply_fn(params, m)
     q_bar = q.mean(axis=0)

@@ -8,6 +8,7 @@ import pytest
 from hippyflow_tpu.nn import (
     accuracy,
     gauss_newton_cg_step,
+    jstarphi_from_jsvd,
     l2_loss,
     make_h1_loss,
     projected_dense,
@@ -113,6 +114,25 @@ def test_h1_training_improves_jacobian_fit(projectors, linear_map_data):
     l2_after = float(l2_loss(model.apply, params, m, q))
     assert np.isfinite(l2_after)
     assert l2_after < l2_before
+
+
+def test_jstarphi_from_jsvd_matches_exact_sketch(projectors, linear_map_data):
+    """Jsvd_data.npz -> JstarPhi conversion: for J_i = U_i s_i V_i^T the
+    sketch must equal J_i^T Phi exactly (both derivative artifacts feed the
+    same H1 loss, `dataGenerator.py:170-187`)."""
+    _, Phi = projectors
+    _, _, _, J = linear_map_data
+    n, r = 7, min(J.shape)
+    # per-sample scaled copies of J give distinct exact SVDs
+    scales = np.linspace(0.5, 2.0, n)
+    U, s, Vt = np.linalg.svd(J, full_matrices=False)
+    U_data = np.repeat(U[None], n, axis=0)
+    sigma_data = scales[:, None] * s[None, :]
+    V_data = np.repeat(Vt.T[None], n, axis=0)
+    got = np.asarray(jstarphi_from_jsvd(U_data, sigma_data, V_data, Phi))
+    expected = np.stack([(sc * J).T @ Phi for sc in scales])
+    np.testing.assert_allclose(got, expected, rtol=1e-12, atol=1e-13)
+    assert got.shape == (n, J.shape[1], Phi.shape[1])
 
 
 def test_frozen_input_projection_is_constant(projectors, linear_map_data):
