@@ -126,10 +126,15 @@ def main():
     if args.architecture in ("as_dense", "kle_dense", "as_resnet"):
         basis = "AS_input" if args.architecture.startswith("as") else "KLE"
         P, Phi = modify_projectors(projectors, basis)
+        # center the regression on the training-data mean (hessianlearn's
+        # RegressionProblem(y_mean=q_mean), confusion_training.py:177)
+        q_mean = q_data.mean(axis=0)
         if args.architecture == "as_resnet":
-            model = projected_low_rank_residual_network(P, Phi, ranks=[8, 8])
+            model = projected_low_rank_residual_network(
+                P, Phi, ranks=[8, 8], output_shift=q_mean
+            )
         else:
-            model = projected_dense(P, Phi)
+            model = projected_dense(P, Phi, output_shift=q_mean)
     elif args.architecture == "generic_dense":
         model = GenericDense(output_dim=dQ)
     elif args.architecture == "linear":

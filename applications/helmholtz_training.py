@@ -122,13 +122,17 @@ def main():
     if args.architecture in ("as_dense", "kle_dense", "as_resnet"):
         basis = "AS_input" if args.architecture.startswith("as") else "KLE"
         P, Phi = modify_projectors(projectors, basis)
+        # center the regression on the training-data mean (hessianlearn's
+        # RegressionProblem(y_mean=q_mean), helmholtz_training.py:219)
+        q_mean = q_data.mean(axis=0)
         if args.architecture == "as_resnet":
             # helmholtz DIPResNet variant: sigmoid residual activation
             model = projected_low_rank_residual_network(
-                P, Phi, ranks=[8, 8], residual_activation="sigmoid"
+                P, Phi, ranks=[8, 8], residual_activation="sigmoid",
+                output_shift=q_mean,
             )
         else:
-            model = projected_dense(P, Phi)
+            model = projected_dense(P, Phi, output_shift=q_mean)
     elif args.architecture == "generic_dense":
         model = GenericDense(output_dim=dQ)
     elif args.architecture == "linear":

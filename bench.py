@@ -458,6 +458,69 @@ def run_helmholtz_lane():
     return elapsed, first_run, stages
 
 
+def run_training_lane():
+    """DIPNet surrogate training at the reference experiment scale
+    (BASELINE.md 'DIPNet training scale'; reference
+    `dipnet_paper/confusion_training.py:46-56,191-217`): 512 train / 512
+    test samples, batch 128, inexact Newton-CG with Armijo line search,
+    hess_batch 16, hessian_low_rank 20, fixed input rank 8 / output rank
+    16, as-projected dense architecture.  Consumes the dataset + AS input
+    decoder the headline lane just saved and builds the output POD from
+    data (the reference's own two-step flow).  Returns a dict of extras."""
+    import jax
+    import numpy as np
+
+    from applications.confusion_training import modify_projectors
+    from hippyflow_tpu.models.pod import PODProjectorFromData
+    from hippyflow_tpu.nn import projected_dense, train
+
+    data = np.load(os.path.join(BENCH_DIR, "confusion_mq_data.npz"))
+    m_data = np.asarray(data["m_data"], dtype=np.float32)
+    q_data = np.asarray(data["q_data"], dtype=np.float32)
+    dec = np.asarray(
+        np.load(os.path.join(BENCH_DIR, "AS_input_decoder.npy")),
+        dtype=np.float32,
+    )
+    n = int(os.environ.get("BENCH_TRAIN_N", 1024))  # 512 train + 512 test
+    m_data, q_data = m_data[:n], q_data[:n]
+    in_rank = int(os.environ.get("BENCH_TRAIN_IN_RANK", 8))
+    out_rank = int(os.environ.get("BENCH_TRAIN_OUT_RANK", 16))
+    sweeps = int(os.environ.get("BENCH_TRAIN_SWEEPS", 20))
+
+    d_pod, phi, _, q_shift = PODProjectorFromData(
+        None, M_output=np.eye(q_data.shape[1], dtype=np.float32)
+    ).construct_subspace(q_data, u_rank=out_rank, shifted=True, method="hep")
+    # reference training flow: QR re-orthonormalization + rescale of both
+    # projectors before they seed the network (`confusion_utilities.py:174-227`)
+    proj_in, proj_out = modify_projectors(
+        {"AS_input": dec[:, :in_rank], "POD": np.asarray(phi)[:, :out_rank]}
+    )
+    model = projected_dense(proj_in, proj_out, output_shift=q_shift)
+
+    t0 = time.time()
+    params, logger = train(
+        model, m_data, q_data,
+        batch_size=128, epochs=sweeps, optimizer="incg",
+        hess_batch_size=16, hessian_low_rank=20,
+        validation_split=0.5, seed=0,
+    )
+    jax.block_until_ready(params)
+    elapsed = time.time() - t0
+    val_acc = float(logger["val_acc"][-1])
+    log(
+        f"training lane: {sweeps} incg sweeps in {elapsed:.2f}s "
+        f"({elapsed / sweeps:.3f} s/sweep), val acc {val_acc:.4f}"
+    )
+    return {
+        "training_s_per_sweep": round(elapsed / sweeps, 3),
+        "training_sweeps": sweeps,
+        "training_val_acc": round(val_acc, 4),
+        "training_config": (
+            f"incg_b128_hb16_lr20_r{in_rank}x{out_rank}_{n // 2}train"
+        ),
+    }
+
+
 # ---------------------------------------------------------------------------
 # CPU reference baseline (runs in a subprocess on the CPU backend)
 # ---------------------------------------------------------------------------
@@ -1166,6 +1229,12 @@ def main():
         except Exception as e:
             log(f"helmholtz lane failed: {e}")
             extra["helmholtz_error"] = str(e)[:200]
+    if os.environ.get("BENCH_TRAINING", "1") == "1":
+        try:
+            extra.update(run_training_lane())
+        except Exception as e:
+            log(f"training lane failed: {e}")
+            extra["training_error"] = str(e)[:200]
 
     print(
         json.dumps(

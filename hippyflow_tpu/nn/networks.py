@@ -34,14 +34,29 @@ class _ProjectedBase(nn.Module):
         bias = self.param("input_bias", nn.initializers.zeros, (P.shape[1],))
         return z + bias
 
-    def _emit(self, z, output_projector):
-        """Trainable output layer initialized to the output decoder^T."""
+    def _emit(self, z, output_projector, output_shift=None):
+        """Trainable output layer initialized to the output decoder^T.
+
+        ``output_shift`` (the training-data mean q_bar) initializes the
+        output bias: hessianlearn's ``RegressionProblem(y_mean=q_mean)``
+        (`confusion_training.py:177`) centers the regression the same way,
+        and the POD basis itself is built from MEAN-SHIFTED snapshots
+        (`PODProjector.py:698-706` shifted=True), so without the shift the
+        network must waste capacity reconstructing the mean."""
         Phi = np.asarray(output_projector)
         kernel_init = lambda key, shape, dtype=jnp.float32: jnp.asarray(
             Phi.T, dtype=dtype
         )
+        if output_shift is None:
+            bias_init = nn.initializers.zeros
+        else:
+            shift = np.asarray(output_shift)
+            bias_init = lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                shift, dtype=dtype
+            )
         return nn.Dense(
-            Phi.shape[0], kernel_init=kernel_init, name="output_layer"
+            Phi.shape[0], kernel_init=kernel_init, bias_init=bias_init,
+            name="output_layer",
         )(z)
 
 
@@ -51,6 +66,7 @@ class DIPNet(_ProjectedBase):
     input_projector: np.ndarray  # (dM, rIn)
     output_projector: np.ndarray  # (dQ, rOut)
     intermediate_layers: int = 1
+    output_shift: np.ndarray | None = None  # (dQ,) training-data mean
 
     @nn.compact
     def __call__(self, m):
@@ -60,7 +76,7 @@ class DIPNet(_ProjectedBase):
         z = nn.softplus(nn.Dense(rIn, name="dense_reduction_layer")(z))
         for i in range(self.intermediate_layers):
             z = nn.softplus(nn.Dense(rOut, name=f"inner_layer_{i}")(z))
-        return self._emit(z, self.output_projector)
+        return self._emit(z, self.output_projector, self.output_shift)
 
 
 class DIPResNet(_ProjectedBase):
@@ -70,6 +86,7 @@ class DIPResNet(_ProjectedBase):
     output_projector: np.ndarray
     ranks: Sequence[int] = (4, 4)
     residual_activation: str = "softplus"  # helmholtz variant uses sigmoid
+    output_shift: np.ndarray | None = None
 
     @nn.compact
     def __call__(self, m):
@@ -81,7 +98,7 @@ class DIPResNet(_ProjectedBase):
             z = z + nn.Dense(dim, name=f"lr_{i}_out")(h)
         rOut = self.output_projector.shape[1]
         z = nn.Dense(rOut, name="reduced_output")(z)
-        return self._emit(z, self.output_projector)
+        return self._emit(z, self.output_projector, self.output_shift)
 
 
 class GenericDense(nn.Module):
@@ -116,21 +133,26 @@ class LowRankLinear(nn.Module):
         return nn.Dense(self.output_dim)(z)
 
 
-def projected_dense(input_projector, output_projector, intermediate_layers=1):
+def projected_dense(
+    input_projector, output_projector, intermediate_layers=1, output_shift=None
+):
     """Reference-parity factory returning a DIPNet module."""
     return DIPNet(
         input_projector=np.asarray(input_projector),
         output_projector=np.asarray(output_projector),
         intermediate_layers=intermediate_layers,
+        output_shift=None if output_shift is None else np.asarray(output_shift),
     )
 
 
 def projected_low_rank_residual_network(
-    input_projector, output_projector, ranks=(4, 4), residual_activation="softplus"
+    input_projector, output_projector, ranks=(4, 4),
+    residual_activation="softplus", output_shift=None,
 ):
     return DIPResNet(
         input_projector=np.asarray(input_projector),
         output_projector=np.asarray(output_projector),
         ranks=tuple(ranks),
         residual_activation=residual_activation,
+        output_shift=None if output_shift is None else np.asarray(output_shift),
     )

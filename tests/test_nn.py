@@ -50,6 +50,35 @@ def test_dipnet_initialization_uses_projectors(projectors):
     assert out.shape == (2, DQ)
 
 
+def test_output_shift_centers_initial_predictions(projectors, linear_map_data):
+    """output_shift initializes the output bias to the data mean
+    (hessianlearn RegressionProblem(y_mean=q_mean) parity) — the shifted
+    model must start with a far better fit on mean-offset data."""
+    P, Phi = projectors
+    m, q, _, _ = linear_map_data
+    q = q + 7.5  # large mean offset
+    shift = q.mean(axis=0)
+    plain = projected_dense(P, Phi)
+    shifted = projected_dense(P, Phi, output_shift=shift)
+    mb = jnp.asarray(m[:32])
+    p0 = plain.init(jax.random.PRNGKey(0), mb)
+    p1 = shifted.init(jax.random.PRNGKey(0), mb)
+    np.testing.assert_allclose(
+        np.asarray(p1["params"]["output_layer"]["bias"]), np.asarray(shift),
+        rtol=1e-6,
+    )
+    l_plain = float(l2_loss(lambda p, x: plain.apply(p, x), p0, mb, q[:32]))
+    l_shift = float(l2_loss(lambda p, x: shifted.apply(p, x), p1, mb, q[:32]))
+    assert l_shift < 0.5 * l_plain
+    # DIPResNet takes the same argument
+    res = projected_low_rank_residual_network(P, Phi, output_shift=shift)
+    pr = res.init(jax.random.PRNGKey(0), mb)
+    np.testing.assert_allclose(
+        np.asarray(pr["params"]["output_layer"]["bias"]), np.asarray(shift),
+        rtol=1e-6,
+    )
+
+
 def test_dipresnet_shapes(projectors):
     P, Phi = projectors
     model = projected_low_rank_residual_network(P, Phi, ranks=[3, 3])
