@@ -97,8 +97,16 @@ d_blocks = b0[1::2, :, s:2 * s]  # (n_odd, s, s) level-0 odd diagonals
 from hippyflow_tpu.ops.pallas_kernels import batched_inverse
 
 inv_lu = jnp.linalg.inv(d_blocks)
-inv_gj = batched_inverse(d_blocks)  # TPU: pallas blocked GJ if s allows
-kind = "pallas-GJ" if jax.default_backend() == "tpu" and s <= 704 else "xla-inv"
+# force the Pallas GJ kernel even above the s<=256 default cutoff — the
+# question here is numerical (pivotless GJ on INDEFINITE Helmholtz blocks),
+# not which inverse is faster; interpret mode covers non-TPU backends
+try:
+    inv_gj = jax.block_until_ready(batched_inverse(d_blocks, force="pallas"))
+    kind = "pallas-GJ(forced)"
+except Exception as e:  # s=516 can exceed VMEM scratch on-chip
+    print(f"pallas GJ at s={s} failed ({str(e)[:120]}); falling back to xla")
+    inv_gj = batched_inverse(d_blocks)
+    kind = "xla-inv"
 I = jnp.eye(s, dtype=d_blocks.dtype)
 res_lu = jnp.abs(jnp.einsum("kij,kjl->kil", d_blocks, inv_lu) - I).max()
 res_gj = jnp.abs(jnp.einsum("kij,kjl->kil", d_blocks, inv_gj) - I).max()
