@@ -106,10 +106,7 @@ def wait_for_device(max_wait_s: int | None = None):
         except subprocess.TimeoutExpired:
             pass
         if time.time() > deadline:
-            log(
-                f"device probe failed for {max_wait_s}s — proceeding anyway "
-                "(the run will hang or fail if the device is truly gone)"
-            )
+            log(f"device probe failed for {max_wait_s}s — giving up")
             return False
         log("device not responding (tunnel outage?); retrying in 60s ...")
         time.sleep(60)
@@ -1215,7 +1212,27 @@ def main():
         print(json.dumps(run_parity_worker()))
         return
 
-    wait_for_device()
+    if not wait_for_device():
+        # The tunneled device never answered: a wedged backend would hang
+        # this process forever with no output.  Emit one parseable JSON
+        # line recording the outage instead (value null = no measurement).
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        f"confusion_AS_r{RANK}_{N_SAMPLES}samples_nx{NX}_time"
+                    ),
+                    "value": None,
+                    "unit": "s",
+                    "vs_baseline": None,
+                    "extra": {
+                        "error": "device probe failed (tunnel outage); "
+                        "no TPU measurement possible this run"
+                    },
+                }
+            )
+        )
+        return
     baseline = get_baseline()
     log(f"baseline(8-rank-equivalent): {baseline['seconds_8rank']:.1f}s")
     parity = {}
