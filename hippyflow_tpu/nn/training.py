@@ -197,6 +197,7 @@ def train(
     logger = {"train_acc": [], "val_acc": [], "loss": [], "epoch_time": []}
     steps_per_epoch = max(1, n_train // batch_size)
     rng = np.random.RandomState(seed)
+    best_params = None
     for epoch in range(epochs):
         t0 = time.time()
         order = rng.permutation(n_train)
@@ -217,12 +218,17 @@ def train(
         logger["val_acc"].append(va_acc)
         logger["loss"].append(float(last_loss))
         logger["epoch_time"].append(time.time() - t0)
+        # hessianlearn keeps the best-validation weights ('max_val_acc'
+        # printing item + best-weight restore after fit)
+        if n_val and (best_params is None or va_acc > logger["max_val_acc"]):
+            logger["max_val_acc"] = va_acc
+            best_params = params
         if verbose and (epoch % 10 == 0 or epoch == epochs - 1):
             print(
                 f"epoch {epoch:4d} loss {float(last_loss):.4e} "
                 f"train_acc {tr_acc:.4f} val_acc {va_acc:.4f}"
             )
-    return params, logger
+    return (best_params if best_params is not None else params), logger
 
 
 def _frozen_flat_mask(params, frozen_prefixes, flat):
@@ -323,6 +329,7 @@ def _fit_incg(
     }
     steps_per_epoch = max(1, n_train // batch_size)
     rng = np.random.RandomState(seed)
+    best_flat = None
     key = jax.random.PRNGKey(seed + 2)
     k_probe = min(hessian_low_rank + 5, flat.shape[0])
     for epoch in range(epochs):
@@ -356,13 +363,16 @@ def _fit_incg(
         logger["loss"].append(float(last_loss))
         logger["gnorm"].append(float(gnorm))
         logger["epoch_time"].append(time.time() - t0)
+        if n_val and (best_flat is None or va_acc > logger["max_val_acc"]):
+            logger["max_val_acc"] = va_acc
+            best_flat = flat
         if verbose and (epoch % 10 == 0 or epoch == epochs - 1):
             print(
                 f"incg sweep {epoch:4d} loss {float(last_loss):.4e} "
                 f"||g|| {float(gnorm):.3e} train_acc {tr_acc:.4f} "
                 f"val_acc {va_acc:.4f}"
             )
-    return unravel(flat), logger
+    return unravel(best_flat if best_flat is not None else flat), logger
 
 
 def gauss_newton_cg_step(

@@ -145,6 +145,23 @@ def test_h1_training_improves_jacobian_fit(projectors, linear_map_data):
     assert l2_after < l2_before
 
 
+def test_train_returns_best_validation_weights(projectors, linear_map_data):
+    """hessianlearn parity: fit() tracks max_val_acc and restores the
+    best-validation weights, not the last iterate."""
+    P, Phi = projectors
+    m, q, _, _ = linear_map_data
+    model = projected_dense(P, Phi)
+    params, logger = train(model, m, q, epochs=4, batch_size=64, seed=0)
+    assert logger["max_val_acc"] == max(logger["val_acc"])
+    n_val = max(1, int(m.shape[0] * 0.1))
+    # returned weights reproduce the best epoch's validation accuracy
+    perm = np.asarray(jax.random.permutation(jax.random.PRNGKey(0), m.shape[0]))
+    va = perm[m.shape[0] - n_val:]
+    got = float(accuracy(lambda p, x: model.apply(p, x), params,
+                         jnp.asarray(m[va]), jnp.asarray(q[va])))
+    assert abs(got - logger["max_val_acc"]) < 1e-5
+
+
 def test_jstarphi_from_jsvd_matches_exact_sketch(projectors, linear_map_data):
     """Jsvd_data.npz -> JstarPhi conversion: for J_i = U_i s_i V_i^T the
     sketch must equal J_i^T Phi exactly (both derivative artifacts feed the
