@@ -93,6 +93,9 @@ def main():
                              "hessianlearn fit(), confusion_training.py:191-217)")
     parser.add_argument("--hessian_low_rank", type=int, default=20)
     parser.add_argument("--hess_batch_size", type=int, default=16)
+    parser.add_argument("--record_spectrum", type=int, default=0,
+                        help="log top-k GN Hessian eigenvalues per sweep "
+                             "(incg only; reference record_spectrum)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--logger_out", type=str, default=None)
     args = parser.parse_args()
@@ -165,6 +168,7 @@ def main():
         optimizer=args.optimizer,
         hessian_low_rank=args.hessian_low_rank,
         hess_batch_size=args.hess_batch_size,
+        record_spectrum=bool(args.record_spectrum) and args.optimizer == "incg",
         **h1_kwargs,
     )
     print(

@@ -114,12 +114,19 @@ def train(
     hess_batch_size: int = 16,
     hessian_low_rank: int = 20,
     incg_damping: float = 1e-3,
+    record_spectrum: bool = False,
 ):
     """Train a flax surrogate; returns (params, logger dict).
 
     The logger mirrors hessianlearn's `_logger` payload persisted by the
     multirun sweeps (`confusion_multirun.py:99-147`): per-epoch train/val
     accuracy and loss (plus ||g|| for the second-order path).
+
+    record_spectrum=True (hessianlearn's `record_spectrum` setting,
+    `confusion_training.py:43-44,205`) logs the top-`hessian_low_rank`
+    Gauss-Newton Hessian eigenvalues each sweep in
+    ``logger['hessian_spectrum']`` — free on the incg path, which already
+    eigendecomposes H_GN for its preconditioner.
 
     optimizer='adamw' (default) is first-order optax; optimizer='incg' is
     the hessianlearn-parity second-order path
@@ -172,7 +179,9 @@ def train(
             hess_batch_size=hess_batch_size,
             hessian_low_rank=hessian_low_rank,
             damping=incg_damping,
+            record_spectrum=record_spectrum,
         )
+    assert not record_spectrum, "record_spectrum requires optimizer='incg'"
     assert optimizer == "adamw", f"unknown optimizer {optimizer!r}"
 
     tx = optax.adamw(learning_rate, weight_decay=weight_decay)
@@ -250,6 +259,7 @@ def _fit_incg(
     model, apply_fn, params, total_loss, m_data, q_data, J_data,
     tr, va, n_val, *, l2_weight, batch_size, epochs, seed, frozen_prefixes,
     verbose, cg_iters, hess_batch_size, hessian_low_rank, damping,
+    record_spectrum=False,
 ):
     """Inexact Newton-CG fit loop (hessianlearn `HessianlearnModel.fit()`
     with optimizer 'incg', reference
@@ -327,6 +337,8 @@ def _fit_incg(
         "train_acc": [], "val_acc": [], "loss": [], "epoch_time": [],
         "gnorm": [], "optimizer": "incg",
     }
+    if record_spectrum:
+        logger["hessian_spectrum"] = []
     steps_per_epoch = max(1, n_train // batch_size)
     rng = np.random.RandomState(seed)
     best_flat = None
@@ -344,6 +356,8 @@ def _fit_incg(
         U, dprec = refresh_preconditioner(
             flat, m_data[hb_idx], q_data[hb_idx], Omega
         )
+        if record_spectrum:
+            logger["hessian_spectrum"].append(np.asarray(dprec).tolist())
         last_loss, gnorm = None, None
         for s_idx in range(steps_per_epoch):
             idx = tr[order[s_idx * batch_size : (s_idx + 1) * batch_size]]

@@ -145,6 +145,23 @@ def test_h1_training_improves_jacobian_fit(projectors, linear_map_data):
     assert l2_after < l2_before
 
 
+def test_record_spectrum_logs_gn_eigenvalues(projectors, linear_map_data):
+    """record_spectrum (hessianlearn parity) logs the descending top-k GN
+    Hessian eigenvalues once per sweep on the incg path."""
+    P, Phi = projectors
+    m, q, _, _ = linear_map_data
+    model = projected_dense(P, Phi)
+    _, logger = train(
+        model, m, q, epochs=2, batch_size=64, optimizer="incg",
+        hessian_low_rank=6, record_spectrum=True, seed=0,
+    )
+    spec = logger["hessian_spectrum"]
+    assert len(spec) == 2 and len(spec[0]) == 6
+    assert all(a >= b - 1e-12 for a, b in zip(spec[0], spec[0][1:]))
+    with pytest.raises(AssertionError):
+        train(model, m, q, epochs=1, record_spectrum=True)  # adamw
+
+
 def test_train_returns_best_validation_weights(projectors, linear_map_data):
     """hessianlearn parity: fit() tracks max_val_acc and restores the
     best-validation weights, not the last iterate."""
