@@ -112,6 +112,18 @@ def wait_for_device(max_wait_s: int | None = None):
         time.sleep(60)
 
 
+def _last_measured_extra() -> dict:
+    """Committed record of the most recent real-chip measurements
+    (`.bench/measured_r3.json`), folded into the outage JSON so a
+    down-tunnel run still reports the numbers this code actually achieved
+    (clearly labeled with their measurement date)."""
+    path = os.path.join(BENCH_DIR, "measured_r3.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return {"last_measured": json.load(f)}
+
+
 def _subprocess_cpu(args, timeout=7200):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -1227,7 +1239,8 @@ def main():
                     "vs_baseline": None,
                     "extra": {
                         "error": "device probe failed (tunnel outage); "
-                        "no TPU measurement possible this run"
+                        "no TPU measurement possible this run",
+                        **_last_measured_extra(),
                     },
                 }
             )
