@@ -112,6 +112,40 @@ def wait_for_device(max_wait_s: int | None = None):
         time.sleep(60)
 
 
+# Error texts of transient tunnel/backend failures that are worth retrying:
+# the axon backend compiles REMOTELY over HTTP, and a dropped request
+# surfaces as an INTERNAL JaxRuntimeError mid-lane.  Completed compiles are
+# already in the persistent cache, so a retry resumes incrementally instead
+# of redoing the whole warmup.
+TRANSIENT_MARKERS = (
+    "remote_compile",
+    "read body",
+    "response body closed",
+    "Socket closed",
+    "UNAVAILABLE",
+    "DEADLINE_EXCEEDED",
+    "connection reset",
+)
+
+
+def retry_transient(fn, what: str, attempts: int = 4):
+    """Run fn(); on a transient tunneled-backend error, re-probe the device
+    (subprocess, so a wedged client can't hang us) and retry."""
+    for k in range(attempts):
+        try:
+            return fn()
+        except Exception as e:
+            msg = str(e)
+            if k == attempts - 1 or not any(t in msg for t in TRANSIENT_MARKERS):
+                raise
+            log(
+                f"{what}: transient backend error ({msg[:150]}); "
+                f"re-probing device, retry {k + 1}/{attempts - 1} ..."
+            )
+            if not wait_for_device():
+                raise
+
+
 def _last_measured_extra() -> dict:
     """Committed record of the most recent real-chip measurements
     (`.bench/measured_r3.json`), folded into the outage JSON so a
@@ -1256,8 +1290,9 @@ def main():
         parity = {"rel_eig_err": None, "error": str(e)}
 
     vel = get_ns_velocity(NX)
-    elapsed, first_run, d, mfu, stages = run_tpu_pipeline(
-        NX, N_SAMPLES, RANK, args.dtype, velocity=vel
+    elapsed, first_run, d, mfu, stages = retry_transient(
+        lambda: run_tpu_pipeline(NX, N_SAMPLES, RANK, args.dtype, velocity=vel),
+        "headline lane",
     )
 
     extra = {
@@ -1272,21 +1307,24 @@ def main():
     }
     if NX192:
         try:
-            t192, first192, _, _, stages192 = run_tpu_pipeline(
-                NX192_NX, NX192_SAMPLES, NX192_RANK, args.dtype,
-                save_data=False,
-                # measured: auto chunking picks 8 here (16*n*s memory
-                # model); forward chunk 32 is the practical max (Thomas
-                # factors ~250 MB/sample live) and runs 9% faster than 16
-                # (81 vs 89 ms/sample, probe_fwd192.py); the dQ-rhs
-                # Jacobian stage needs the smaller 16 (32 OOMed at 17 GB
-                # pre-split)
-                chunk_default=(
-                    int(os.environ.get("BENCH_NX192_CHUNK", 32)) or None
+            t192, first192, _, _, stages192 = retry_transient(
+                lambda: run_tpu_pipeline(
+                    NX192_NX, NX192_SAMPLES, NX192_RANK, args.dtype,
+                    save_data=False,
+                    # measured: auto chunking picks 8 here (16*n*s memory
+                    # model); forward chunk 32 is the practical max (Thomas
+                    # factors ~250 MB/sample live) and runs 9% faster than 16
+                    # (81 vs 89 ms/sample, probe_fwd192.py); the dQ-rhs
+                    # Jacobian stage needs the smaller 16 (32 OOMed at 17 GB
+                    # pre-split)
+                    chunk_default=(
+                        int(os.environ.get("BENCH_NX192_CHUNK", 32)) or None
+                    ),
+                    jac_chunk_default=(
+                        int(os.environ.get("BENCH_NX192_JAC_CHUNK", 16)) or None
+                    ),
                 ),
-                jac_chunk_default=(
-                    int(os.environ.get("BENCH_NX192_JAC_CHUNK", 16)) or None
-                ),
+                "nx192 lane",
             )
             extra["nx192_time_s"] = round(t192, 2)
             extra["nx192_first_run_s"] = round(first192, 2)
@@ -1308,7 +1346,9 @@ def main():
             extra["nx192_error"] = str(e)[:200]
     if os.environ.get("BENCH_HELMHOLTZ", "1") == "1":
         try:
-            t_h, first_h, stages_h = run_helmholtz_lane()
+            t_h, first_h, stages_h = retry_transient(
+                run_helmholtz_lane, "helmholtz lane"
+            )
             extra["helmholtz_time_s"] = round(t_h, 2)
             extra["helmholtz_first_run_s"] = round(first_h, 2)
             extra["helmholtz_config"] = (
@@ -1333,7 +1373,7 @@ def main():
             extra["helmholtz_error"] = str(e)[:200]
     if os.environ.get("BENCH_TRAINING", "1") == "1":
         try:
-            extra.update(run_training_lane())
+            extra.update(retry_transient(run_training_lane, "training lane"))
         except Exception as e:
             log(f"training lane failed: {e}")
             extra["training_error"] = str(e)[:200]
