@@ -1378,17 +1378,55 @@ def main():
             log(f"training lane failed: {e}")
             extra["training_error"] = str(e)[:200]
 
-    print(
-        json.dumps(
-            {
-                "metric": f"confusion_AS_r{RANK}_{N_SAMPLES}samples_nx{NX}_time",
-                "value": round(elapsed, 3),
-                "unit": "s",
-                "vs_baseline": round(baseline["seconds_8rank"] / elapsed, 2),
-                "extra": extra,
-            }
-        )
+    result = {
+        "metric": f"confusion_AS_r{RANK}_{N_SAMPLES}samples_nx{NX}_time",
+        "value": round(elapsed, 3),
+        "unit": "s",
+        "vs_baseline": round(baseline["seconds_8rank"] / elapsed, 2),
+        "extra": extra,
+    }
+    print(json.dumps(result))
+    _refresh_measured_snapshot(result)
+
+
+def _refresh_measured_snapshot(result: dict):
+    """Auto-refresh the committed real-chip snapshot after a successful
+    measured run (this code path only executes once the device probe
+    succeeded, so `result` is a genuine on-chip measurement).  The snapshot
+    is what `_last_measured_extra` folds into the outage JSON, so keeping
+    it current means a later down-tunnel run always reports the newest
+    numbers this code actually achieved.  Disable with BENCH_SNAPSHOT=0
+    (e.g. for deliberately reduced A/B runs that shouldn't overwrite the
+    full-lane record)."""
+    if os.environ.get("BENCH_SNAPSHOT", "1") != "1":
+        return
+    import datetime
+
+    full = (
+        NX192
+        and os.environ.get("BENCH_HELMHOLTZ", "1") == "1"
+        and os.environ.get("BENCH_TRAINING", "1") == "1"
     )
+    path = os.path.join(BENCH_DIR, "measured_r3.json")
+    snap = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                snap = json.load(f)
+        except Exception:
+            snap = {}
+    snap["note"] = (
+        "most recent bench results measured on the real v5e; auto-refreshed "
+        "by bench.py after every successful on-chip run so a down-tunnel "
+        "round-end run still reports measured numbers"
+    )
+    snap["full_lanes_run" if full else "headline_run"] = result
+    snap["measured_at_utc"] = datetime.datetime.now(
+        datetime.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M")
+    with open(path, "w") as f:
+        json.dump(snap, f, indent=1)
+    log(f"refreshed measured snapshot ({'full' if full else 'headline'} lanes)")
 
 
 if __name__ == "__main__":
