@@ -59,6 +59,11 @@ def ActiveSubspaceParameterList() -> ParameterList:
             "samples_per_process": [64, "Number of samples used in expectations"],
             "jacobian_data_per_process": [512, "Number of Jacobian data samples"],
             "error_test_samples": [50, "Number of samples for error test"],
+            "double_loop_samples": [
+                20,
+                "Inner (conditional-resample) samples per outer sample in "
+                "the double-loop MC error test",
+            ],
             "rank": [128, "Rank of subspace"],
             "jacobian_rank": [128, "Rank of Jacobians generated"],
             "control_jacobian_rank": [None, "Rank of control Jacobians generated"],
@@ -590,7 +595,8 @@ class ActiveSubspaceProjector:
                     test_output: bool = False, n_samples: int | None = None):
         """Monte-Carlo relative projection errors for the input (and/or
         output) subspace at the given ranks (reference `test_errors`,
-        `activeSubspaceProjector.py:1048-1335`, naive-test portion).
+        `activeSubspaceProjector.py:1048-1335`, naive-test portion; the
+        double-loop MC mode is `test_errors_double_loop` below).
 
         Input test: err = ||m - V_r V_r^T R m|| / ||m|| over prior samples
         (prior-preconditioned oblique projector, `PriorPreconditionedProjector`).
@@ -631,24 +637,7 @@ class ActiveSubspaceProjector:
                 zs = self.control_distribution.sample_n(
                     self.keychain.next_key(), n
                 )
-            problem = self.observable.problem
-
-            def one(m, z):
-                u, info = problem.solve_fwd(m, z=z)
-                return self.observable.evalu(u), info.converged
-
-            from .sampling import auto_chunk_size
-
-            in_axes = (0, 0 if zs is not None else None)
-            fn = jax.jit(jax.vmap(one, in_axes=in_axes))
-            cs = auto_chunk_size(problem.state_dim, ms.dtype, problem=problem)
-            qs_l, ok_l = [], []
-            for a in range(0, n, cs):
-                qc, okc = fn(ms[a : a + cs], zs[a : a + cs] if zs is not None else None)
-                qs_l.append(qc)
-                ok_l.append(okc)
-            qs = jnp.concatenate(qs_l)
-            ok = np.asarray(jnp.concatenate(ok_l))
+            qs, ok = self._fresh_solves(ms, zs)
             n_valid = int(ok.sum())
             out[("output_discarded", None)] = n - n_valid
             if n_valid == 0:
@@ -664,6 +653,129 @@ class ActiveSubspaceProjector:
                 P = (U @ (U.T @ Q.T)).T
                 errs = jnp.linalg.norm(Q - P, axis=1) / jnp.linalg.norm(Q, axis=1)
                 out[("output", r)] = (float(errs.mean()), float(errs.std()))
+        return out
+
+    def _fresh_solves(self, ms, zs=None):
+        """Batched fresh forward solves -> (qs, converged-mask np array)."""
+        problem = self.observable.problem
+
+        def one(m, z):
+            u, info = problem.solve_fwd(m, z=z)
+            return self.observable.evalu(u), info.converged
+
+        from .sampling import auto_chunk_size
+
+        in_axes = (0, 0 if zs is not None else None)
+        fn = jax.jit(jax.vmap(one, in_axes=in_axes))
+        cs = auto_chunk_size(problem.state_dim, ms.dtype, problem=problem)
+        n = ms.shape[0]
+        qs_l, ok_l = [], []
+        for a in range(0, n, cs):
+            qc, okc = fn(
+                ms[a : a + cs], zs[a : a + cs] if zs is not None else None
+            )
+            qs_l.append(qc)
+            ok_l.append(okc)
+        return jnp.concatenate(qs_l), np.asarray(jnp.concatenate(ok_l))
+
+    def test_errors_double_loop(
+        self,
+        ranks=(8, 16, 32),
+        n_samples: int | None = None,
+        double_loop_samples: int | None = None,
+    ):
+        """Double-loop Monte-Carlo projection error of the input subspace
+        (reference `activeSubspaceProjector.py:1147-1245`; the
+        `double_loop_samples` parameter, :45).
+
+        For each rank r, with P_r the rank-r input projector, the error is
+        the OUTPUT-space discrepancy
+
+            err_i = || q(m_i) - E_{y~nu}[ q(P_r m_i + (I - P_r) y) ] ||
+                    / || q(m_i) ||
+
+        — how much of the map's output the rank-r input subspace explains
+        when the discarded parameter complement is conditionally resampled
+        from the prior.  This is the subspace-quality metric the DIPNet
+        papers quote; it approaches 0 as r -> dM (the inner samples then
+        perturb nothing).
+
+        The inner expectation uses `double_loop_samples` fresh prior draws
+        per outer sample.  Failed inner Newton solves are discarded and the
+        inner average rescaled by the surviving count — the reference's
+        discarded-sample correction (:1224-1228), applied to the inner
+        average (the statistically correct form) rather than to the whole
+        error vector.  Outer samples whose own solve fails (or whose inner
+        samples ALL fail) are discarded outright.  Per-rank averages are
+        collective-averaged like the reference (:1241-1242).
+
+        TPU-native execution: the (outer x inner) loop nest is flattened
+        into one lane axis of n*double_loop_samples batched solves per
+        rank — no per-(i,j) Python-level PDE dispatch.
+
+        Returns dict with keys ("double_loop", r) -> (avg_rel_err,
+        std_rel_err) plus ("double_loop_discarded", r) -> (n_outer_discarded,
+        n_inner_discarded).
+        """
+        assert self.V_GN is not None, "construct_input_subspace first"
+        n = n_samples or self.parameters["error_test_samples"]
+        J = double_loop_samples or self.parameters["double_loop_samples"]
+        dtype = self.prior.mean.dtype
+        noise = self.keychain.normal((n, self.prior.noise_dim), dtype=dtype)
+        ms = self.prior.sample(noise)
+        zs = None
+        if self.control_distribution is not None:
+            zs = self.control_distribution.sample_n(self.keychain.next_key(), n)
+        qs, ok = self._fresh_solves(ms, zs)
+        if not ok.any():
+            raise RuntimeError("double-loop test: every outer solve failed")
+        ms_v = jnp.asarray(np.asarray(ms)[ok])
+        qs_v = jnp.asarray(np.asarray(qs)[ok])
+        zs_v = jnp.asarray(np.asarray(zs)[ok]) if zs is not None else None
+        nv = ms_v.shape[0]
+        out = {}
+        results = []
+        for r in ranks:
+            V = self.V_GN[:, :r]
+            if self.prior_preconditioned:
+                proj = prior_preconditioned_projector(V, self.prior.R_matmat)
+            else:
+                proj = low_rank_operator(jnp.ones(r), V)
+            m_r = proj(ms_v.T).T  # (nv, dM) rank-r projections
+            y = self.prior.sample(
+                self.keychain.normal((nv * J, self.prior.noise_dim), dtype=dtype)
+            )
+            y_perp = y - proj(y.T).T  # conditional resample of the complement
+            m_inner = jnp.repeat(m_r, J, axis=0) + y_perp
+            z_inner = jnp.repeat(zs_v, J, axis=0) if zs_v is not None else None
+            q_in, ok_in = self._fresh_solves(m_inner, z_inner)
+            q_in = np.asarray(q_in).reshape(nv, J, -1)
+            ok_in = ok_in.reshape(nv, J)
+            n_ok = ok_in.sum(axis=1)  # surviving inner samples per outer
+            # rescaled inner mean: sum over survivors / survivor count
+            cond_mean = (q_in * ok_in[:, :, None]).sum(axis=1) / np.maximum(
+                n_ok, 1
+            )[:, None]
+            valid = n_ok > 0
+            num = np.linalg.norm(np.asarray(qs_v) - cond_mean, axis=1)
+            den = np.linalg.norm(np.asarray(qs_v), axis=1)
+            errs = (num / den)[valid]
+            avg = self.collective.allReduce(float(errs.mean()), "avg")
+            std = float(
+                np.sqrt(self.collective.allReduce(float(errs.std() ** 2), "avg"))
+            )
+            out[("double_loop", r)] = (float(avg), std)
+            out[("double_loop_discarded", r)] = (
+                int((n - nv) + (~valid).sum()),
+                int((J * nv) - n_ok.sum()),
+            )
+            results.append(float(avg))
+            if self.parameters["verbose"]:
+                print(
+                    f"Double loop MC global average relative error input = "
+                    f"{float(avg):.6f} for rank {r}"
+                )
+        self._double_loop_errors = results
         return out
 
     # -- io ----------------------------------------------------------------------

@@ -158,6 +158,38 @@ def test_error_decay_and_jacobian_data(problem, tmp_path):
 
 
 @pytest.mark.slow
+def test_double_loop_mc_errors(problem):
+    """Double-loop MC projection error (reference
+    `activeSubspaceProjector.py:1147-1245`): for each rank, the output
+    discrepancy when the complement of the rank-r input projection is
+    conditionally resampled from the prior.  Checks (a) monotone decay,
+    (b) double-loop error <= naive input error at matched rank (the map
+    contracts input-space error), and (c) error -> 0 at full rank, where
+    the projector is the identity and the inner resample perturbs nothing."""
+    pde, prior, control_dist, Vh, ms, zs = problem
+    obs = poisson_pointwise_observable(pde, Vh, n_obs=15)
+    proj = _make_projector(obs, prior, control_dist, serialized=False)
+    full = Vh.dim  # complete R-orthonormal basis => V V^T R = I
+    proj.parameters["rank"] = full
+    proj.parameters["oversampling"] = 10
+    proj.ms, proj.zs = ms, zs
+    proj.construct_input_subspace()
+
+    naive = proj.test_errors(ranks=(2, 12), test_input=True)
+    dl = proj.test_errors_double_loop(
+        ranks=(2, 12, full), n_samples=6, double_loop_samples=4
+    )
+    e2, e12, efull = (dl[("double_loop", r)][0] for r in (2, 12, full))
+    assert e2 >= e12 >= efull
+    # the PDE map contracts: output-space conditional-resample error is
+    # below the naive input-space projection error at the same rank
+    assert e12 <= naive[("input", 12)][0]
+    assert efull < 1e-8  # identity projector -> exact reconstruction
+    assert dl[("double_loop_discarded", 12)] == (0, 0)
+    assert proj._double_loop_errors == [e2, e12, efull]
+
+
+@pytest.mark.slow
 def test_eigenvalue_parity_vs_dense_reference(problem):
     """BASELINE.json accuracy criterion: the randomized GHEP machinery
     reproduces a dense generalized eigensolve of the materialized E[J^T J]
