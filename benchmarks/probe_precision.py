@@ -1,0 +1,112 @@
+"""On-chip A/B of matmul precision for the banded-solver hot stages.
+
+Round-4 VERDICT item 1 (mixed precision): how much wall-clock do the
+forward Newton solve and the dQ-rhs Jacobian trans-solve gain when the
+factorization/solve matmuls drop from 'highest' (6-pass bf16 emulation of
+f32) to 'high' (3-pass) or 'default' (single bf16 pass), and does Newton
+still converge?  Run once per setting:
+
+    PROBE_PREC=highest|high|default python benchmarks/probe_precision.py
+"""
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+
+PREC = os.environ.get("PROBE_PREC", "highest")
+jax.config.update("jax_default_matmul_precision", PREC)
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(REPO, ".bench", "jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+import jax.numpy as jnp
+import numpy as np
+
+from applications.confusion import confusion_linear_observable, confusion_prior
+
+NX = int(os.environ.get("PROBE_NX", 64))
+B = int(os.environ.get("PROBE_BATCH", 256))
+DQ = int(os.environ.get("PROBE_DQ", 100))
+
+print("devices:", jax.devices())
+vel_path = os.path.join(REPO, ".bench", f"ns_velocity_nx{NX}.npy")
+vel = np.load(vel_path) if os.path.exists(vel_path) else "analytic"
+obs, Vh = confusion_linear_observable(nx=NX, velocity=vel)
+prior = confusion_prior(Vh)
+problem = obs.problem
+n = Vh.dim
+print(f"prec={PREC} nx={NX} n={n} batch={B}")
+
+key = jax.random.PRNGKey(0)
+noise = jax.random.normal(key, (B, n), dtype=jnp.float32)
+ms = jax.jit(prior.sample)(noise)
+jax.block_until_ready(ms)
+
+
+def timed(name, fn, *args, iters=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+    print(f"{name:44s} {dt * 1e3:9.1f} ms")
+    return out, dt
+
+
+# --- forward Newton ---------------------------------------------------------
+fwd = jax.jit(jax.vmap(lambda m: problem.solve_fwd(m)))
+(us, infos), t_fwd = timed("vmapped Newton forward", fwd, ms)
+iters = np.asarray(infos.iterations)
+conv = np.asarray(infos.converged)
+print(
+    f"  converged {conv.sum()}/{B}  iters max={iters.max()} "
+    f"mean={iters.mean():.2f}  resid max={np.asarray(infos.residual_norm).max():.3e}"
+)
+
+# --- Jacobian stage: linearize (adj factor) + DQ-rhs trans solve -------------
+Bmat = jax.random.normal(jax.random.PRNGKey(1), (DQ, n), dtype=jnp.float32)
+
+
+def jac_stage(u, m):
+    lin = problem.linearize(u, m, needs="adj")
+    X = problem.solve_incremental(lin, Bmat.T, is_adj=True)
+    return X
+
+
+jac = jax.jit(jax.vmap(jac_stage))
+X, t_jac = timed(f"linearize+trans-solve ({DQ} rhs)", jac, us, ms)
+
+# accuracy of the trans solve vs f32-highest reference residual:
+# || A^T x - b || / || b || computed at highest precision via vjp
+with jax.default_matmul_precision("highest"):
+    def resid_one(u, m, x, b):
+        rm = lambda uu: problem.residual_masked(uu, m, None)
+        _, pull = jax.vjp(rm, u)
+        mask = jnp.asarray(problem.bc.mask)
+        keep = (~mask).astype(x.dtype)
+        y = keep * pull(keep * x)[0] + mask * x
+        return jnp.linalg.norm(y - keep * b) / jnp.linalg.norm(b)
+
+    rr = jax.jit(
+        jax.vmap(
+            lambda u, m, Xs: jax.vmap(resid_one, in_axes=(None, None, 1, 0))(
+                u, m, Xs, Bmat
+            )
+        )
+    )(us, ms, X)
+print(f"  trans-solve rel residual: max={float(np.asarray(rr).max()):.3e}")
+
+print(
+    f"RESULT prec={PREC} fwd_ms={t_fwd * 1e3:.1f} jac_ms={t_jac * 1e3:.1f} "
+    f"iters_max={iters.max()} conv={conv.sum()}/{B}"
+)

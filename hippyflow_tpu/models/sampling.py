@@ -249,24 +249,37 @@ def sample_until_solved(
             if ok.all():
                 break
             bad = np.where(~ok)[0]
-            n_failures += len(bad)
+            nbad = len(bad)
+            n_failures += nbad
             failed_ms.append(np.asarray(m[bad]))
             if verbose:
-                print(f"resampling {len(bad)} failed forward solves")
-            noise2 = keychain.normal((len(bad), prior.noise_dim), dtype=dtype)
+                print(f"resampling {nbad} failed forward solves")
+            # Resample at the chunk's OWN batch size and keep only the first
+            # nbad lanes: an arbitrary-len(bad) batch would compile a fresh
+            # Newton program (minutes over a remote-compile tunnel at large
+            # nx) — a few wasted warm solves are orders of magnitude cheaper.
+            # Passing an explicit zero initial guess reuses the warm-start
+            # program instead of compiling a no-u0 variant.
+            b_re = m.shape[0]
+            noise2 = keychain.normal((b_re, prior.noise_dim), dtype=dtype)
             z2 = (
-                control_distribution.sample_n(keychain.next_key(), len(bad))
+                control_distribution.sample_n(keychain.next_key(), b_re)
                 if with_control
                 else None
             )
-            m2, u2, q2, ok2 = solve_chunk(noise2, z2)
-            m = m.at[bad].set(m2)
-            u = u.at[bad].set(u2)
-            q = q.at[bad].set(q2)
+            u0_2 = (
+                jnp.zeros((b_re, problem.state_dim), dtype=dtype)
+                if warm_start
+                else None
+            )
+            m2, u2, q2, ok2 = solve_chunk(noise2, z2, u0_2)
+            m = m.at[bad].set(m2[:nbad])
+            u = u.at[bad].set(u2[:nbad])
+            q = q.at[bad].set(q2[:nbad])
             if with_control:
-                z = z.at[bad].set(z2)
+                z = z.at[bad].set(z2[:nbad])
             ok_np = ok.copy()
-            ok_np[bad] = np.asarray(ok2)
+            ok_np[bad] = np.asarray(ok2[:nbad])
             ok = ok_np
         if not ok.all():
             raise RuntimeError(
