@@ -18,7 +18,9 @@ sys.path.insert(0, REPO)
 
 import jax
 
-PREC = os.environ.get("PROBE_PREC", "highest")
+PREC = os.environ.get("PROBE_PREC", "highest")  # session/global precision
+SOLVER_PREC = os.environ.get("PROBE_SOLVER_PREC", "")  # banded-op precision
+REFINE = int(os.environ.get("PROBE_REFINE", "0"))
 jax.config.update("jax_default_matmul_precision", PREC)
 try:
     jax.config.update(
@@ -35,6 +37,12 @@ from applications.confusion import confusion_linear_observable, confusion_prior
 NX = int(os.environ.get("PROBE_NX", 64))
 B = int(os.environ.get("PROBE_BATCH", 256))
 DQ = int(os.environ.get("PROBE_DQ", 100))
+
+if SOLVER_PREC or REFINE:
+    from hippyflow_tpu import config as hf_config
+
+    hf_config.set_solver_precision(SOLVER_PREC or None, REFINE)
+    print(f"solver policy: prec={SOLVER_PREC or 'inherit'} refine={REFINE}")
 
 print("devices:", jax.devices())
 vel_path = os.path.join(REPO, ".bench", f"ns_velocity_nx{NX}.npy")
@@ -107,6 +115,7 @@ with jax.default_matmul_precision("highest"):
 print(f"  trans-solve rel residual: max={float(np.asarray(rr).max()):.3e}")
 
 print(
-    f"RESULT prec={PREC} fwd_ms={t_fwd * 1e3:.1f} jac_ms={t_jac * 1e3:.1f} "
+    f"RESULT prec={PREC} solver={SOLVER_PREC or 'inherit'} refine={REFINE} "
+    f"fwd_ms={t_fwd * 1e3:.1f} jac_ms={t_jac * 1e3:.1f} "
     f"iters_max={iters.max()} conv={conv.sum()}/{B}"
 )

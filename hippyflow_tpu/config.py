@@ -24,6 +24,48 @@ def enable_x64() -> None:
     jax.config.update("jax_enable_x64", True)
 
 
+# ---------------------------------------------------------------------------
+# Mixed-precision banded-solve policy (VERDICT r3 item 1)
+# ---------------------------------------------------------------------------
+# On v5e every f32 matmul at the session default precision 'highest' is
+# emulated with 6 bf16 MXU passes.  The banded factorizations/back-solves
+# (`ops/structured.py`) tolerate fewer passes: their matmuls can run at
+# 'high' (3 passes, ~2e-6 effective epsilon) or 'default' (1 pass) with the
+# lost accuracy recovered by iterative refinement — each sweep computes the
+# residual with the banded matvec at 'highest' and re-solves for the
+# correction (backward-stable: the refined solve is as accurate as the
+# residual evaluation).  Newton forward solves additionally self-correct.
+#
+# Policy is trace-time global state (read inside the factorize/solve
+# functions), defaulting to exact ('highest', 0 sweeps) so CPU tests and
+# f64 parity runs are unaffected.  Bench lanes opt in per-run.
+_solver_precision: str | None = None  # None = inherit the session default
+_solver_refine_steps: int = 0
+
+
+def set_solver_precision(precision: str | None = None, refine_steps: int = 0):
+    """Set the matmul precision used INSIDE banded factorize/solve ops and
+    the number of iterative-refinement sweeps wrapped around their solves.
+
+    precision in {None (inherit), 'highest', 'high', 'default'};
+    refine_steps >= 0.  Returns the previous (precision, refine_steps) pair
+    so callers can restore it."""
+    global _solver_precision, _solver_refine_steps
+    assert precision in (None, "highest", "high", "default")
+    prev = (_solver_precision, _solver_refine_steps)
+    _solver_precision = precision
+    _solver_refine_steps = int(refine_steps)
+    return prev
+
+
+def solver_precision() -> str | None:
+    return _solver_precision
+
+
+def solver_refine_steps() -> int:
+    return _solver_refine_steps
+
+
 def default_dtype():
     """Library default floating dtype: f64 when x64 is enabled, else f32."""
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

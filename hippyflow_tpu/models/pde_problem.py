@@ -38,12 +38,22 @@ from ..fem import (
 )
 from ..ops.linalg import factorize
 from ..ops.structured import (
+    RefinedBandFactor,
     factorize_block_cyclic_banded,
     factorize_block_tridiag_banded,
     factorize_thomas_inv_banded,
 )
 
 STATE, PARAMETER, ADJOINT, CONTROL = 0, 1, 2, 3
+
+
+def _maybe_refine(fac, band):
+    """Wrap a banded factor in iterative refinement when the mixed-precision
+    policy asks for it (`config.set_solver_precision(..., refine_steps=k)`).
+    The band rides along as a pytree leaf; each sweep costs one banded
+    matvec at 'highest' precision + one extra back-solve."""
+    k = config.solver_refine_steps()
+    return RefinedBandFactor(fac, band, k) if k > 0 else fac
 
 
 @jax.tree_util.register_pytree_node_class
@@ -366,6 +376,7 @@ class VariationalPDEProblem:
                     )
                 else:
                     fac = factorize_block_tridiag_banded(band)
+                fac = _maybe_refine(fac, band)
             return PermutedFactor(fac, border)
         if self._use_block_tridiag:
             s = self._block_size
@@ -391,14 +402,17 @@ class VariationalPDEProblem:
                 else self._structured_solver_fwd
             )
             if sv == "thomas_inv":
-                return factorize_thomas_inv_banded(band)
+                return _maybe_refine(factorize_thomas_inv_banded(band), band)
             if sv == "block_cyclic":
-                return factorize_block_cyclic_banded(
+                return _maybe_refine(
+                    factorize_block_cyclic_banded(
+                        band,
+                        with_transpose=with_transpose,
+                        with_forward=with_forward,
+                    ),
                     band,
-                    with_transpose=with_transpose,
-                    with_forward=with_forward,
                 )
-            return factorize_block_tridiag_banded(band)
+            return _maybe_refine(factorize_block_tridiag_banded(band), band)
         A = bc_symmetrize(self.bound.assemble_A(u, m, z), self.bc)
         return factorize(A, self.form.symmetric)
 

@@ -23,11 +23,31 @@ backward sweep), giving the incremental adjoint solves for free.
 
 from __future__ import annotations
 
+import contextlib
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
+
+from .. import config
+
+
+def _prec_ctx():
+    """Matmul-precision context for the banded factorize/solve hot ops.
+
+    `config.set_solver_precision` lowers these ops below the session default
+    (e.g. 'high' = 3 bf16 passes instead of 'highest''s 6 on v5e); the lost
+    accuracy is recovered by iterative refinement (`RefinedBandFactor`) and,
+    for Newton forward solves, by the outer iteration itself.  Default None
+    inherits the session precision — CPU tests and f64 parity runs see
+    bitwise-identical behavior."""
+    p = config.solver_precision()
+    return (
+        contextlib.nullcontext()
+        if p is None
+        else jax.default_matmul_precision(p)
+    )
 
 
 class BlockTridiagFactor(NamedTuple):
@@ -48,6 +68,10 @@ class BlockTridiagFactor(NamedTuple):
 
     def solve(self, b, trans: bool = False):
         """Solve A x = b (or A^T x = b). b: (n,) or (n, k)."""
+        with _prec_ctx():
+            return self._solve(b, trans)
+
+    def _solve(self, b, trans: bool = False):
         squeeze = b.ndim == 1
         if squeeze:
             b = b[:, None]
@@ -127,7 +151,11 @@ def extract_block_tridiag(A, s: int):
 
 def factorize_block_tridiag(D, L_A, B) -> BlockTridiagFactor:
     """Block-Thomas factorization from the three block diagonals."""
+    with _prec_ctx():
+        return _factorize_block_tridiag(D, L_A, B)
 
+
+def _factorize_block_tridiag(D, L_A, B) -> BlockTridiagFactor:
     def step(Dp_prev, inputs):
         Dj, Aj, Bjm1 = inputs
         # L_j = A_j @ inv(D'_{j-1}) via solving D'^T X^T = A^T
@@ -275,6 +303,10 @@ class BlockCyclicFactor(NamedTuple):
 
     def solve(self, rhs, trans: bool = False):
         """Solve A x = rhs (or A^T x = rhs). rhs: (n,) or (n, k)."""
+        with _prec_ctx():
+            return self._solve(rhs, trans)
+
+    def _solve(self, rhs, trans: bool = False):
         levels = self.trans_levels if trans else self.levels
         Dinv_root = self.Dinv_root_T if trans else self.Dinv_root
         assert levels is not None, (
@@ -359,11 +391,12 @@ def factorize_block_cyclic(
         return tuple(levels), _block_inv(d)[0]
 
     levels, Dinv_root = (None, None)
-    if with_forward:
-        levels, Dinv_root = run(L_A, D, B)
-    trans_levels, Dinv_root_T = (None, None)
-    if with_transpose:
-        trans_levels, Dinv_root_T = run(*_transpose_band(L_A, D, B))
+    with _prec_ctx():
+        if with_forward:
+            levels, Dinv_root = run(L_A, D, B)
+        trans_levels, Dinv_root_T = (None, None)
+        if with_transpose:
+            trans_levels, Dinv_root_T = run(*_transpose_band(L_A, D, B))
     return BlockCyclicFactor(
         levels=levels,
         Dinv_root=Dinv_root,
@@ -438,6 +471,10 @@ class InverseThomasFactor(NamedTuple):
 
     def solve(self, b, trans: bool = False):
         """Solve A x = b (or A^T x = b). b: (n,) or (n, k)."""
+        with _prec_ctx():
+            return self._solve(b, trans)
+
+    def _solve(self, b, trans: bool = False):
         squeeze = b.ndim == 1
         if squeeze:
             b = b[:, None]
@@ -502,6 +539,11 @@ def factorize_thomas_inv_banded(band) -> InverseThomasFactor:
     storage.  Per-sample function; compose with jax.vmap for batches —
     the scan stays length nb while every step's matmuls and inverse
     batch over the sample axis (see `_block_inv_single`)."""
+    with _prec_ctx():
+        return _factorize_thomas_inv_banded(band)
+
+
+def _factorize_thomas_inv_banded(band) -> InverseThomasFactor:
     s = band.shape[1]
     A = band[:, :, :s]
     D = band[:, :, s : 2 * s]
@@ -551,6 +593,65 @@ def block_tridiag_matmat(band, X):
     y = y.at[:-1].add(jnp.einsum("kij,kjl->kil", B[:-1], xb[1:]))
     out = y.reshape(nb * s, -1)
     return out[:, 0] if squeeze else out
+
+
+def block_tridiag_matmat_trans(band, X):
+    """A^T @ X for band storage (nb, s, 3s); X: (n,) or (n, k).
+
+    (A^T)_{j,j-1} = B_{j-1}^T, diagonal D_j^T, (A^T)_{j,j+1} = A_{j+1}^T —
+    computed directly from the untransposed band (einsum index swap), no
+    transposed copies materialized."""
+    squeeze = X.ndim == 1
+    if squeeze:
+        X = X[:, None]
+    nb, s = band.shape[0], band.shape[1]
+    xb = X.reshape(nb, s, -1)
+    L_A = band[:, :, :s]
+    D = band[:, :, s : 2 * s]
+    B = band[:, :, 2 * s :]
+    y = jnp.einsum("kji,kjl->kil", D, xb)
+    y = y.at[1:].add(jnp.einsum("kji,kjl->kil", B[:-1], xb[:-1]))
+    y = y.at[:-1].add(jnp.einsum("kji,kjl->kil", L_A[1:], xb[1:]))
+    out = y.reshape(nb * s, -1)
+    return out[:, 0] if squeeze else out
+
+
+@jax.tree_util.register_pytree_node_class
+class RefinedBandFactor:
+    """Iterative refinement around a (possibly low-precision) banded factor.
+
+    Mixed-precision scheme (VERDICT r4 item 1): the inner factorization and
+    its back-solves may run with lowered matmul precision
+    (`config.set_solver_precision`); each refinement sweep computes the
+    residual r = b - A x with the banded matvec at 'highest' precision and
+    re-solves for the correction.  The refined solution's accuracy is set by
+    the residual evaluation, not the factor — standard iterative-refinement
+    backward stability (one sweep recovers ~3 decimal digits per sweep at
+    these condition numbers; measured in benchmarks/probe_precision.py).
+
+    Pytree: (inner, band) are leaves (vmap/jit batch them together); the
+    sweep count is static aux data."""
+
+    def __init__(self, inner, band, n_refine: int = 1):
+        self.inner = inner
+        self.band = band
+        self.n_refine = n_refine
+
+    def tree_flatten(self):
+        return (self.inner, self.band), (self.n_refine,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0])
+
+    def solve(self, b, trans: bool = False):
+        x = self.inner.solve(b, trans=trans)
+        matmat = block_tridiag_matmat_trans if trans else block_tridiag_matmat
+        for _ in range(self.n_refine):
+            with jax.default_matmul_precision("highest"):
+                r = b - matmat(self.band, x)
+            x = x + self.inner.solve(r, trans=trans)
+        return x
 
 
 @jax.tree_util.register_pytree_node_class

@@ -365,3 +365,113 @@ class TestInverseThomas:
             np.testing.assert_allclose(
                 np.asarray(xt), np.asarray(xc), rtol=1e-9, atol=1e-10
             )
+
+
+class TestMixedPrecisionRefinement:
+    """Mixed-precision banded-solve policy (VERDICT r4 item 1): lowered
+    matmul precision inside factorize/solve + iterative refinement."""
+
+    def _band(self, nb=9, s=4, seed=3):
+        rng = np.random.RandomState(seed)
+        band = 0.3 * rng.randn(nb, s, 3 * s)
+        band[:, :, s : 2 * s] += 4.0 * np.eye(s)
+        band[0, :, :s] = 0.0
+        band[-1, :, 2 * s :] = 0.0
+        return jnp.asarray(band)
+
+    def test_trans_matmat_matches_forward_of_transpose(self):
+        from hippyflow_tpu.ops.structured import (
+            _transpose_band,
+            block_tridiag_matmat,
+            block_tridiag_matmat_trans,
+        )
+
+        band = self._band()
+        s = band.shape[1]
+        X = jnp.asarray(np.random.RandomState(0).randn(band.shape[0] * s, 5))
+        a_t, d_t, b_t = _transpose_band(
+            band[:, :, :s], band[:, :, s : 2 * s], band[:, :, 2 * s :]
+        )
+        band_t = jnp.concatenate([a_t, d_t, b_t], axis=2)
+        np.testing.assert_allclose(
+            np.asarray(block_tridiag_matmat_trans(band, X)),
+            np.asarray(block_tridiag_matmat(band_t, X)),
+            rtol=1e-12, atol=1e-13,
+        )
+        # single-vector path
+        np.testing.assert_allclose(
+            np.asarray(block_tridiag_matmat_trans(band, X[:, 0])),
+            np.asarray(block_tridiag_matmat(band_t, X[:, 0])),
+            rtol=1e-12, atol=1e-13,
+        )
+
+    def test_refined_factor_solves_and_vmaps(self):
+        from hippyflow_tpu.ops.structured import (
+            RefinedBandFactor,
+            block_tridiag_matmat,
+            block_tridiag_matmat_trans,
+            factorize_thomas_inv_banded,
+        )
+
+        band = self._band()
+        n = band.shape[0] * band.shape[1]
+        rhs = jnp.asarray(np.random.RandomState(1).randn(n, 3))
+        fac = RefinedBandFactor(factorize_thomas_inv_banded(band), band, 2)
+        for trans, mm in ((False, block_tridiag_matmat),
+                          (True, block_tridiag_matmat_trans)):
+            x = fac.solve(rhs, trans=trans)
+            np.testing.assert_allclose(
+                np.asarray(mm(band, x)), np.asarray(rhs), atol=1e-11
+            )
+        # vmap over a batch of factors (the production composition)
+        bands = jnp.stack([self._band(seed=i) for i in range(3)])
+        facs = jax.vmap(
+            lambda bd: RefinedBandFactor(
+                factorize_thomas_inv_banded(bd), bd, 1
+            )
+        )(bands)
+        rhs_b = jnp.asarray(np.random.RandomState(2).randn(3, n, 2))
+        xs = jax.jit(jax.vmap(lambda f, r: f.solve(r)))(facs, rhs_b)
+        for i in range(3):
+            np.testing.assert_allclose(
+                np.asarray(block_tridiag_matmat(bands[i], xs[i])),
+                np.asarray(rhs_b[i]), atol=1e-10,
+            )
+
+    def test_policy_hooks_into_problem_factors(self):
+        """set_solver_precision(refine_steps=1) makes _assemble_factorize
+        return refinement-wrapped factors whose solves still match the exact
+        path (CPU: precision contexts are no-ops, so this checks plumbing)."""
+        import hippyflow_tpu as hf
+        from hippyflow_tpu import config as hf_config
+        from hippyflow_tpu.ops.structured import RefinedBandFactor
+        from hippyflow_tpu.testing import (
+            make_poisson_varf,
+            poisson_control_settings,
+            setup_poisson_control_problem,
+        )
+
+        settings = poisson_control_settings()
+        settings["nx"] = settings["ny"] = 8
+        pde, prior, control_dist, Vh = setup_poisson_control_problem(settings)
+        m = prior.sample(jax.random.normal(jax.random.PRNGKey(0), (Vh.dim,)))
+        z = control_dist.sample_n(jax.random.PRNGKey(1), 1)[0]
+        u_ref, _ = pde.solve_fwd(m, z)
+        lin_ref = pde.linearize(u_ref, m, z)
+        rhs = jax.random.normal(jax.random.PRNGKey(2), (Vh.dim, 3))
+        prev = hf_config.set_solver_precision("high", refine_steps=1)
+        try:
+            fac = pde._assemble_factorize(u_ref, m, z)
+            assert isinstance(fac, RefinedBandFactor)
+            u2, info2 = pde.solve_fwd(m, z)
+            assert bool(info2.converged)
+            np.testing.assert_allclose(
+                np.asarray(u2), np.asarray(u_ref), rtol=1e-8, atol=1e-10
+            )
+            lin2 = pde.linearize(u_ref, m, z)
+            for adj in (False, True):
+                a = np.asarray(pde.solve_incremental(lin_ref, rhs, is_adj=adj))
+                b = np.asarray(pde.solve_incremental(lin2, rhs, is_adj=adj))
+                np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-11)
+        finally:
+            hf_config.set_solver_precision(*prev)
