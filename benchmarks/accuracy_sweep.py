@@ -1,0 +1,274 @@
+"""Reference-scale DIPNet accuracy-vs-data sweep (VERDICT r4 item 5).
+
+The reference's deliverable is the accuracy-vs-training-data curve of the
+derivative-informed projected networks
+(`applications/confusion/dipnet_paper/confusion_multirun.py:90-161`:
+n_data in [32..1536], several weight seeds, pickled master logger).  This
+script produces that artifact for the TPU rebuild:
+
+  stage data   — 2048-sample confusion dataset (m, q) at the reference
+                 configuration (nx=64, steady-NS velocity, BiLaplacian
+                 prior) + Jacobian sketches J^T Phi for the H1 loss
+                 (rQ=16 POD output encoder), saved to
+                 .bench/accuracy_sweep/data.npz (gitignored: ~0.6 GB).
+  stage sweep  — for each architecture (DIPNet, DIPResNet), loss (l2,
+                 l2+H1), n_data in {32..1536} and weight seed, train with
+                 the incg optimizer against a FIXED 512-sample held-out
+                 set; resumable master pickle + accuracy-vs-data plot +
+                 .bench/accuracy_sweep/summary.json (committed — the
+                 reviewer-facing numbers; bench.py folds the headline
+                 figures into its JSON).
+
+Run (TPU):  python benchmarks/accuracy_sweep.py --stage data
+            python benchmarks/accuracy_sweep.py --stage sweep
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+OUT_DIR = os.path.join(REPO, ".bench", "accuracy_sweep")
+DATA_PATH = os.path.join(OUT_DIR, "data.npz")
+MASTER_PATH = os.path.join(OUT_DIR, "master_logger.pkl")
+SUMMARY_PATH = os.path.join(OUT_DIR, "summary.json")
+PLOT_PATH = os.path.join(OUT_DIR, "accuracy_vs_data.pdf")
+
+N_TOTAL = 2048
+N_VAL = 512
+IN_RANK, OUT_RANK = 8, 16
+DATA_SIZES = (32, 64, 128, 256, 512, 1024, 1536)
+SEEDS = (0, 1, 2)
+SWEEPS = int(os.environ.get("SWEEP_EPOCHS", 40))
+
+
+def _jax_setup():
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(REPO, ".bench", "jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    jax.config.update("jax_default_matmul_precision", "highest")
+    return jax
+
+
+def stage_data():
+    jax = _jax_setup()
+    import jax.numpy as jnp
+
+    from applications.confusion import confusion_linear_observable, confusion_prior
+    from hippyflow_tpu.models.pod import PODProjectorFromData
+    from hippyflow_tpu.models.sampling import (
+        materialize_jacobians,
+        sample_until_solved,
+    )
+    from hippyflow_tpu.utils import KeyChain
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    vel = np.load(os.path.join(REPO, ".bench", "ns_velocity_nx64.npy"))
+    obs, Vh = confusion_linear_observable(nx=64, velocity=vel)
+    prior = confusion_prior(Vh)
+
+    t0 = time.time()
+    batch = sample_until_solved(
+        obs, prior, KeyChain(7), N_TOTAL, chunk_size=256, verbose=True
+    )
+    jax.block_until_ready(batch.us)
+    print(f"forward sampling of {N_TOTAL} took {time.time() - t0:.1f}s")
+
+    q_np = np.asarray(batch.qs, dtype=np.float32)
+    # output POD (rank 16, shifted) from the 1536 potential-training samples
+    d_pod, phi, _, q_shift = PODProjectorFromData(
+        None, M_output=np.eye(q_np.shape[1], dtype=np.float32)
+    ).construct_subspace(
+        q_np[: N_TOTAL - N_VAL], u_rank=OUT_RANK, shifted=True, method="hep"
+    )
+    Phi = jnp.asarray(np.asarray(phi, dtype=np.float32))
+
+    # Jacobian sketches J^T Phi, chunk-folded so the dense J stack is never
+    # resident: (c, dQ, dM) -> (c, dM, rQ) per 256-sample chunk
+    t0 = time.time()
+    JstarPhi = np.empty((N_TOTAL, Vh.dim, OUT_RANK), dtype=np.float32)
+    for a in range(0, N_TOTAL, 256):
+        b = min(a + 256, N_TOTAL)
+        Jc = materialize_jacobians(
+            obs, batch.ms[a:b], batch.us[a:b], None, chunk_size=256
+        )
+        JstarPhi[a:b] = np.asarray(
+            jnp.einsum("nqm,qp->nmp", Jc, Phi), dtype=np.float32
+        )
+        print(f"  JstarPhi {b}/{N_TOTAL}")
+    print(f"Jacobian sketches took {time.time() - t0:.1f}s")
+
+    dec = np.asarray(
+        np.load(os.path.join(REPO, ".bench", "AS_input_decoder.npy")),
+        dtype=np.float32,
+    )
+    np.savez(
+        DATA_PATH,
+        m_data=np.asarray(batch.ms, dtype=np.float32),
+        q_data=q_np,
+        JstarPhi_data=JstarPhi,
+        AS_input_decoder=dec[:, :IN_RANK],
+        POD_decoder=np.asarray(phi, dtype=np.float32),
+        POD_d=np.asarray(d_pod, dtype=np.float32),
+        q_shift=np.asarray(q_shift, dtype=np.float32),
+    )
+    print(f"saved {DATA_PATH} ({os.path.getsize(DATA_PATH) / 1e9:.2f} GB)")
+
+
+def stage_sweep():
+    jax = _jax_setup()
+
+    from applications.confusion_training import modify_projectors
+    from hippyflow_tpu.nn import (
+        projected_dense,
+        projected_low_rank_residual_network,
+        train,
+    )
+
+    data = np.load(DATA_PATH)
+    m_all = data["m_data"]
+    q_all = data["q_data"]
+    J_all = data["JstarPhi_data"]
+    q_shift = data["q_shift"]
+    proj_in, proj_out = modify_projectors(
+        {
+            "AS_input": data["AS_input_decoder"],
+            "POD": data["POD_decoder"][:, :OUT_RANK],
+        }
+    )
+    n_pool = N_TOTAL - N_VAL
+    m_val, q_val = m_all[n_pool:], q_all[n_pool:]
+
+    master = {}
+    if os.path.exists(MASTER_PATH):
+        with open(MASTER_PATH, "rb") as f:
+            master = pickle.load(f)
+
+    def make_model(arch):
+        if arch == "dipnet":
+            return projected_dense(proj_in, proj_out, output_shift=q_shift)
+        return projected_low_rank_residual_network(
+            proj_in, proj_out, ranks=(8, 8), output_shift=q_shift
+        )
+
+    for arch in ("dipnet", "dipresnet"):
+        for loss in ("l2", "h1"):
+            for n in DATA_SIZES:
+                for seed in SEEDS:
+                    key = repr((arch, loss, n, seed))
+                    if key in master:
+                        continue
+                    t0 = time.time()
+                    kwargs = dict(
+                        batch_size=min(128, n),
+                        epochs=SWEEPS,
+                        optimizer="incg",
+                        hess_batch_size=16,
+                        hessian_low_rank=20,
+                        validation_data=(m_val, q_val),
+                        seed=seed,
+                    )
+                    if loss == "h1":
+                        kwargs.update(
+                            JstarPhi_data=J_all[:n],
+                            input_decoder=proj_in,
+                            output_encoder=proj_out,
+                            h1_weight=1.0,
+                        )
+                    _, logger = train(make_model(arch), m_all[:n], q_all[:n], **kwargs)
+                    master[key] = {
+                        "train_acc": logger["train_acc"],
+                        "val_acc": logger["val_acc"],
+                        "max_val_acc": logger.get(
+                            "max_val_acc", max(logger["val_acc"])
+                        ),
+                        "seconds": time.time() - t0,
+                    }
+                    print(
+                        f"{arch}/{loss} n={n} seed={seed}: "
+                        f"max val acc {master[key]['max_val_acc']:.4f} "
+                        f"({master[key]['seconds']:.1f}s)",
+                        flush=True,
+                    )
+                    with open(MASTER_PATH, "wb") as f:
+                        pickle.dump(master, f)
+    summarize(master)
+
+
+def summarize(master=None):
+    if master is None:
+        with open(MASTER_PATH, "rb") as f:
+            master = pickle.load(f)
+    summary = {
+        "config": {
+            "n_total": N_TOTAL,
+            "n_val": N_VAL,
+            "ranks": f"{IN_RANK}x{OUT_RANK}",
+            "sweeps": SWEEPS,
+            "seeds": len(SEEDS),
+            "optimizer": "incg_b128_hb16_lr20",
+        },
+        "curves": {},
+    }
+    labels, curves = [], []
+    for arch in ("dipnet", "dipresnet"):
+        for loss in ("l2", "h1"):
+            accs_mean, accs_std, sizes = [], [], []
+            for n in DATA_SIZES:
+                vals = [
+                    master[repr((arch, loss, n, s))]["max_val_acc"]
+                    for s in SEEDS
+                    if repr((arch, loss, n, s)) in master
+                ]
+                if not vals:
+                    continue
+                sizes.append(n)
+                accs_mean.append(float(np.mean(vals)))
+                accs_std.append(float(np.std(vals)))
+            if sizes:
+                summary["curves"][f"{arch}_{loss}"] = {
+                    "n_data": sizes,
+                    "mean_max_val_acc": accs_mean,
+                    "std_max_val_acc": accs_std,
+                }
+                labels.append(f"{arch} {loss}")
+                curves.append(accs_mean)
+    with open(SUMMARY_PATH, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"summary at {SUMMARY_PATH}")
+    try:
+        from hippyflow_tpu.utils.plotting import plot_accs_vs_data
+
+        sizes = summary["curves"][labels[0].replace(" ", "_")]["n_data"]
+        plot_accs_vs_data(sizes, curves, labels=labels, out_name=PLOT_PATH)
+        print(f"plot at {PLOT_PATH}")
+    except Exception as e:
+        print(f"plot skipped: {e}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", choices=["data", "sweep", "summary"], required=True)
+    args = ap.parse_args()
+    if args.stage == "data":
+        stage_data()
+    elif args.stage == "sweep":
+        stage_sweep()
+    else:
+        summarize()

@@ -106,6 +106,7 @@ def train(
     learning_rate: float = 1e-3,
     weight_decay: float = 0.0,
     validation_split: float = 0.1,
+    validation_data=None,
     seed: int = 0,
     frozen_prefixes: tuple = (),
     verbose: bool = False,
@@ -142,12 +143,25 @@ def train(
     """
     m_data = jnp.asarray(m_data)
     q_data = jnp.asarray(q_data)
-    n = m_data.shape[0]
-    n_val = max(1, int(n * validation_split)) if validation_split else 0
-    n_train = n - n_val
-    key = jax.random.PRNGKey(seed)
-    perm = jax.random.permutation(key, n)
-    tr, va = perm[:n_train], perm[n_train:]
+    if validation_data is not None:
+        # explicit held-out set (the reference multirun's fixed test block,
+        # `confusion_multirun.py:90-161`): every data-size sweep point is
+        # scored on the SAME samples, so accuracy-vs-data curves compare
+        # training sets, not validation draws
+        m_val, q_val = validation_data
+        n_train = m_data.shape[0]
+        m_data = jnp.concatenate([m_data, jnp.asarray(m_val)])
+        q_data = jnp.concatenate([q_data, jnp.asarray(q_val)])
+        n_val = m_data.shape[0] - n_train
+        tr = jnp.arange(n_train)
+        va = jnp.arange(n_train, m_data.shape[0])
+    else:
+        n = m_data.shape[0]
+        n_val = max(1, int(n * validation_split)) if validation_split else 0
+        n_train = n - n_val
+        key = jax.random.PRNGKey(seed)
+        perm = jax.random.permutation(key, n)
+        tr, va = perm[:n_train], perm[n_train:]
 
     params = model.init(jax.random.PRNGKey(seed + 1), m_data[:1])
     apply_fn = lambda p, m: model.apply(p, m)
