@@ -1282,6 +1282,26 @@ def main():
         return
     baseline = get_baseline()
     log(f"baseline(8-rank-equivalent): {baseline['seconds_8rank']:.1f}s")
+
+    # Per-lane compiled-program accounting (VERDICT r4 item 3): the
+    # persistent compile cache writes one entry per XLA program, so the
+    # per-lane delta in cache-entry count = programs that lane compiled
+    # fresh this run (0 on a warm cache).
+    cache_dir = os.path.join(BENCH_DIR, "jax_cache")
+
+    def _n_cache_entries() -> int:
+        try:
+            return len(os.listdir(cache_dir))
+        except OSError:
+            return 0
+
+    lane_programs = {}
+    _cache_mark = [_n_cache_entries()]
+
+    def mark_programs(lane: str):
+        now = _n_cache_entries()
+        lane_programs[lane] = now - _cache_mark[0]
+        _cache_mark[0] = now
     parity = {}
     try:
         parity = get_parity()
@@ -1294,6 +1314,7 @@ def main():
         lambda: run_tpu_pipeline(NX, N_SAMPLES, RANK, args.dtype, velocity=vel),
         "headline lane",
     )
+    mark_programs("headline")
 
     extra = {
         # Lead with backward error — the roundoff-theory quantity (max
@@ -1353,6 +1374,7 @@ def main():
         except Exception as e:
             log(f"nx192 run failed: {e}")
             extra["nx192_error"] = str(e)[:200]
+        mark_programs("nx192")
     if os.environ.get("BENCH_HELMHOLTZ", "1") == "1":
         try:
             t_h, first_h, stages_h = retry_transient(
@@ -1380,12 +1402,15 @@ def main():
         except Exception as e:
             log(f"helmholtz lane failed: {e}")
             extra["helmholtz_error"] = str(e)[:200]
+        mark_programs("helmholtz")
     if os.environ.get("BENCH_TRAINING", "1") == "1":
         try:
             extra.update(retry_transient(run_training_lane, "training lane"))
         except Exception as e:
             log(f"training lane failed: {e}")
             extra["training_error"] = str(e)[:200]
+        mark_programs("training")
+    extra["programs_compiled"] = lane_programs
 
     result = {
         "metric": f"confusion_AS_r{RANK}_{N_SAMPLES}samples_nx{NX}_time",
