@@ -484,7 +484,14 @@ def mask_residual(r, u, bc: DirichletBC):
 
     Differentiating this masked residual gives identity rows in A and zero
     rows in C — exactly the reference's bc0 treatment of the KKT blocks
-    (`setupPoissonControlProblem.py:221-226`)."""
+    (`setupPoissonControlProblem.py:221-226`).
+
+    Static fast path: an all-false mask (e.g. the PML helmholtz problem,
+    which has no Dirichlet rows) returns r untouched — keeps the dead
+    select and its jvp/vjp out of every traced residual, which shrinks the
+    heavily-recompiled forward/Jacobian programs."""
+    if isinstance(bc.mask, np.ndarray) and not bc.mask.any():
+        return r
     mask = jnp.asarray(bc.mask)
     g = jnp.asarray(bc.value, dtype=r.dtype)
     return jnp.where(mask, u - g, r)

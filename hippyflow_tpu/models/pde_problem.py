@@ -441,13 +441,17 @@ class VariationalPDEProblem:
         if self.rhs_vector is not None:
             b = b + self.rhs_vector
         # inhomogeneous-bc lift b -= A g computed matrix-free (jvp), so the
-        # banded path never forms a dense A
-        mask = jnp.asarray(self.bc.mask)
-        g = jnp.where(mask, jnp.asarray(self.bc.value, dtype=m.dtype), 0.0)
-        lift = jax.jvp(
-            lambda uu: self.bound.residual(uu, m, z), (zero,), (g,)
-        )[1]
-        b = jnp.where(mask, g, b - lift)
+        # banded path never forms a dense A.  Static skip when the problem
+        # has no Dirichlet rows at all (PML helmholtz): the lift jvp is a
+        # full extra assembly trace for a structurally-zero correction —
+        # dead weight in the most-recompiled program.
+        if np.asarray(self.bc.mask).any():
+            mask = jnp.asarray(self.bc.mask)
+            g = jnp.where(mask, jnp.asarray(self.bc.value, dtype=m.dtype), 0.0)
+            lift = jax.jvp(
+                lambda uu: self.bound.residual(uu, m, z), (zero,), (g,)
+            )[1]
+            b = jnp.where(mask, g, b - lift)
         fac = self._assemble_factorize(zero, m, z, needs="fwd")
         u = fac.solve(b)
         # Real convergence flag (direct factors trivially pass; a stagnated
@@ -559,8 +563,9 @@ class VariationalPDEProblem:
         return_info=True also returns the solver's relative residual when
         the factor exposes one (IterativeFactor.solve_info); direct factors
         report 0.0 (exact to roundoff, like the reference's MUMPS)."""
-        keep = (~jnp.asarray(self.bc.mask)).astype(rhs.dtype)
-        rhs = rhs * (keep[:, None] if rhs.ndim == 2 else keep)
+        if np.asarray(self.bc.mask).any():
+            keep = (~jnp.asarray(self.bc.mask)).astype(rhs.dtype)
+            rhs = rhs * (keep[:, None] if rhs.ndim == 2 else keep)
         if return_info:
             if hasattr(lin.factor, "solve_info"):
                 return lin.factor.solve_info(rhs, trans=is_adj)
