@@ -220,10 +220,17 @@ def _gj_blocked_kernel_factory(bs: int):
         tb, s = A.shape[0], A.shape[-1]
 
         def bdot(x, y):
+            # precision pinned: Mosaic lowers only DEFAULT/HIGHEST, so an
+            # ambient jax.default_matmul_precision('high') (the solver
+            # precision policy, hippyflow_tpu/config.py) must not leak into
+            # the kernel trace.  HIGHEST costs nothing here — the kernel is
+            # VMEM-resident and bandwidth-bound, not MXU-bound (measured in
+            # benchmarks/probe_precision.py).
             return jax.lax.dot_general(
                 x, y,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=x.dtype,  # f32 accum (f64 on CPU tests)
+                precision=jax.lax.Precision.HIGHEST,
             )
 
         def body(aug_ref):

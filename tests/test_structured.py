@@ -235,6 +235,45 @@ class TestPallasInverse:
             np.asarray(out), np.linalg.inv(X), rtol=1e-9, atol=1e-11
         )
 
+    def test_solver_precision_policy_does_not_leak_into_kernel(self):
+        """Mosaic lowers only DEFAULT/HIGHEST dot precision; an ambient
+        jax.default_matmul_precision('high') (the solver precision policy)
+        must not reach the kernel's dot_general (regression: the round-4
+        precision probe crashed the TPU lowering with 'Unsupported dot
+        precision: HIGH')."""
+        from hippyflow_tpu.ops.pallas_kernels import batched_inverse
+
+        rng = np.random.RandomState(2)
+        X = jnp.asarray(rng.randn(8, 9, 9) + 6.0 * np.eye(9))
+
+        def allowed(prec):
+            if prec is None:
+                return True
+            seq = prec if isinstance(prec, tuple) else (prec,)
+            return all(p == jax.lax.Precision.HIGHEST for p in seq)
+
+        def check_eqns(jaxpr):
+            for eqn in jaxpr.eqns:
+                if eqn.primitive.name == "dot_general":
+                    assert allowed(eqn.params.get("precision")), (
+                        f"kernel dot_general leaked precision "
+                        f"{eqn.params.get('precision')}"
+                    )
+                for v in eqn.params.values():
+                    inner = getattr(v, "jaxpr", v)
+                    if hasattr(inner, "eqns"):
+                        check_eqns(inner)
+
+        with jax.default_matmul_precision("high"):
+            closed = jax.make_jaxpr(
+                lambda x: batched_inverse(x, force="pallas")
+            )(X)
+            out = batched_inverse(X, force="pallas")
+        check_eqns(closed.jaxpr)
+        np.testing.assert_allclose(
+            np.asarray(out), np.linalg.inv(np.asarray(X)), rtol=1e-9, atol=1e-11
+        )
+
     def test_vmap_batching(self):
         from hippyflow_tpu.ops.pallas_kernels import batched_inverse
 
