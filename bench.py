@@ -1423,6 +1423,7 @@ def main():
             extra["training_error"] = str(e)[:200]
         mark_programs("training")
     extra["programs_compiled"] = lane_programs
+    extra.update(_accuracy_sweep_extra())
 
     result = {
         "metric": f"confusion_AS_r{RANK}_{N_SAMPLES}samples_nx{NX}_time",
@@ -1433,6 +1434,33 @@ def main():
     }
     print(json.dumps(result))
     _refresh_measured_snapshot(result)
+
+
+def _accuracy_sweep_extra() -> dict:
+    """Fold the reference-scale accuracy-vs-data sweep results
+    (benchmarks/accuracy_sweep.py, VERDICT r4 item 5) into the bench extra.
+    The sweep is run separately (it takes the chip for ~an hour); bench
+    reports its committed summary so the reviewer-facing JSON carries the
+    terminal accuracies.  Matches the reference's deliverable
+    (`dipnet_paper/confusion_multirun.py:90-161`)."""
+    path = os.path.join(BENCH_DIR, "accuracy_sweep", "summary.json")
+    if not os.path.exists(path):
+        return {}
+    try:
+        with open(path) as f:
+            summary = json.load(f)
+        out = {"accuracy_sweep_config": summary.get("config")}
+        for name, curve in summary.get("curves", {}).items():
+            sizes = curve.get("n_data", [])
+            if not sizes:
+                continue
+            i = sizes.index(max(sizes))
+            out[f"sweep_{name}_max_val_acc_{sizes[i]}"] = round(
+                curve["mean_max_val_acc"][i], 4
+            )
+        return out
+    except Exception as e:
+        return {"accuracy_sweep_error": str(e)[:200]}
 
 
 def _refresh_measured_snapshot(result: dict):

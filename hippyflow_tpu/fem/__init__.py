@@ -30,3 +30,8 @@ from .observation import (
     grid_targets,
     vector_to_function,
 )
+from .multigrid import (
+    restrict_injection,
+    prolong_linear,
+    coarse_newton_warm_start,
+)

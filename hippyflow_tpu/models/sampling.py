@@ -120,8 +120,18 @@ def sample_until_solved(
     collective=None,
     reset_initial_guess: bool = False,
     prefetch_host: bool = False,
+    coarse_warm_start=None,
 ) -> SampleBatch:
     """Draw n_samples prior samples with converged forward solves.
+
+    ``coarse_warm_start`` (optional): a batched map ``noise -> u0`` built by
+    :func:`hippyflow_tpu.fem.multigrid.coarse_newton_warm_start` — grid
+    sequencing.  Each sample's Newton solve starts from the interpolant of
+    its OWN coarse-mesh solution (measured: 3 iterations instead of 5-6 on
+    the confusion problem, with the coarse solve ~1/16 of a fine iteration).
+    Being a deterministic function of the sample's noise it preserves the
+    bit-exact resume guarantee, so it composes with the chunk-resumable
+    drivers; it takes precedence over the cross-chunk state carrying below.
 
     Failed lanes (non-converged Newton) are resampled with fresh noise, up to
     ``max_tries`` sweeps; a hard failure raises, mirroring the reference's
@@ -155,11 +165,21 @@ def sample_until_solved(
             chunk_size = min(4096, chunk_size * collective.size())
     shard = (lambda x: x) if collective is None else collective.shard_samples
     with_control = control_distribution is not None
-    warm_start = not reset_initial_guess and not getattr(
-        problem, "is_fwd_linear", True
-    )
+    nonlinear = not getattr(problem, "is_fwd_linear", True)
+    use_cws = coarse_warm_start is not None and nonlinear
+    # grid sequencing supersedes cross-chunk state carrying: each lane gets
+    # its own coarse-solution interpolant, which is both a better initial
+    # guess and a pure function of the lane's noise (resume-safe)
+    warm_start = not reset_initial_guess and nonlinear and not use_cws
 
     cache = _jit_cache(observable)
+
+    def get_cws(b: int):
+        ck = ("cws", id(coarse_warm_start), b, str(dtype))
+        if ck not in cache:
+            noise_ex = jax.ShapeDtypeStruct((b, prior.noise_dim), dtype)
+            cache[ck] = jit_lifted(coarse_warm_start, noise_ex)
+        return cache[ck]
 
     def one(noise, z, u0=None):
         m = prior.sample(noise)
@@ -214,7 +234,12 @@ def sample_until_solved(
         if with_control:
             z = shard(control_distribution.sample_n(keychain.next_key(), b))
         u0 = None
-        if warm_start:
+        if use_cws:
+            # the fine solve reuses the SAME compiled with-u0 Newton program
+            # as the warm-start path; only the (cheap, quarter-size) coarse
+            # program is an extra compile
+            u0 = get_cws(b)(noise)
+        elif warm_start:
             # the first chunk cold-starts via an explicit zero initial
             # guess — bitwise-identical to u0=None (pde_problem.py:460-462)
             # but it reuses the SAME compiled warm-start program as every
@@ -267,11 +292,14 @@ def sample_until_solved(
                 if with_control
                 else None
             )
-            u0_2 = (
-                jnp.zeros((b_re, problem.state_dim), dtype=dtype)
-                if warm_start
-                else None
-            )
+            if use_cws:
+                u0_2 = get_cws(b_re)(noise2)
+            else:
+                u0_2 = (
+                    jnp.zeros((b_re, problem.state_dim), dtype=dtype)
+                    if warm_start
+                    else None
+                )
             m2, u2, q2, ok2 = solve_chunk(noise2, z2, u0_2)
             m = m.at[bad].set(m2[:nbad])
             u = u.at[bad].set(u2[:nbad])
