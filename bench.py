@@ -288,6 +288,30 @@ def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str,
     obs, Vh = confusion_linear_observable(nx=nx, velocity=vel, **solver_kw)
     prior = confusion_prior(Vh)
     params = ActiveSubspaceParameterList()
+    if os.environ.get("BENCH_GRIDSEQ", "1") == "1":
+        # grid sequencing (fem/multigrid.py): start each sample's Newton
+        # solve from its own half-resolution solution interpolant; the
+        # coarse problem reuses the RESTRICTED fine velocity (no extra NS
+        # solve) so the map stays a pure function of the sample's noise.
+        import numpy as _np
+        import jax.numpy as jnp
+        import hippyflow_tpu as hf
+        from hippyflow_tpu.fem import (
+            coarse_newton_warm_start,
+            restrict_injection,
+        )
+
+        Vc = hf.FunctionSpace(hf.unit_square_mesh(nx // 2))
+        vel_c = _np.asarray(
+            restrict_injection(jnp.asarray(_np.asarray(vel)), Vh, Vc)
+        )
+        obs_c, _ = confusion_linear_observable(
+            nx=nx // 2, velocity=vel_c, **solver_kw
+        )
+        params["coarse_warm_start"] = coarse_newton_warm_start(
+            prior, obs_c.problem, Vh, Vc
+        )
+        log("grid-sequenced Newton warm starts enabled (BENCH_GRIDSEQ=0 disables)")
     params["rank"] = rank
     params["oversampling"] = OVERSAMPLING
     params["samples_per_process"] = n_samples

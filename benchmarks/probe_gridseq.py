@@ -62,8 +62,11 @@ cws = coarse_newton_warm_start(prior, obs_c.problem, Vh, Vc)
 n = Vh.dim
 print(f"nx={NX} n={n} coarse n={Vc.dim} batch={B}")
 
+from hippyflow_tpu.models.sampling import jit_lifted
+
 noise = jax.random.normal(jax.random.PRNGKey(0), (B, n), dtype=jnp.float32)
-ms = jax.jit(jax.vmap(prior.sample))(noise)
+noise_ex = jax.ShapeDtypeStruct(noise.shape, noise.dtype)
+ms = jit_lifted(jax.vmap(prior.sample), noise_ex)(noise)
 jax.block_until_ready(ms)
 
 
@@ -90,13 +93,20 @@ def report(tag, infos):
     return it
 
 
-solve = jax.jit(jax.vmap(lambda m, u: problem.solve_fwd(m, u0=u)))
+# jit_lifted (closure-convert) keeps the nx=192 mesh/coefficient tables out
+# of the HLO payload -- a plain jax.jit inlines ~100 MB of constants here,
+# which the remote-compile tunnel cannot digest (sampling.py:72-89)
+m_ex = jax.ShapeDtypeStruct(ms.shape, ms.dtype)
+u_ex = jax.ShapeDtypeStruct((B, n), ms.dtype)
+solve = jit_lifted(
+    jax.vmap(lambda m, u: problem.solve_fwd(m, u0=u)), m_ex, u_ex
+)
 z0 = jnp.zeros((B, n), dtype=ms.dtype)
 
 (u_cold, info_cold), t_cold = timed("cold Newton (u0=0)", solve, ms, z0)
 report("cold", info_cold)
 
-jcws = jax.jit(cws)
+jcws = jit_lifted(cws, noise_ex)
 (u0_only, t_cws) = timed("coarse solve + prolong (warm-start map)", jcws, noise)
 (u_warm, info_warm), t_warm = timed("fine Newton from gridseq u0", solve, ms, u0_only)
 report("warm", info_warm)

@@ -3,10 +3,12 @@
 Nested iteration (grid sequencing): solve the nonlinear forward problem on
 a 2x-coarser structured mesh, interpolate the solution to the fine mesh,
 and start the fine Newton iteration there.  Measured on the confusion
-problem (benchmarks/probe_gridseq.py / tests/test_multigrid.py): cold
-starts take 5-6 Newton iterations, coarse-warm starts take 3, and the
-coarse solve costs ~1/16 of one fine iteration per sample at half
-resolution — a ~40% cut of the dominant forward-sampling stage.
+problem on the v5e (benchmarks/probe_gridseq.py): cold starts take 5
+Newton iterations; coarse-warm starts take 2 at nx=64 (256-lane chunks,
+377 -> 279 ms incl. the coarse stage, 1.35x) and just 1 at nx=192
+(32-lane chunks, 2348 -> 936 ms, 2.51x) — the coarse map itself costs
+18-27% of the cold solve and shrinks relative to the fine work as nx
+grows (quarter dofs x half block size).
 
 The warm start is a deterministic pure function of the sample's own
 parameter draw (noise -> m -> coarse solve -> prolongation), so unlike

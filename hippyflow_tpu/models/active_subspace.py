@@ -102,6 +102,12 @@ def ActiveSubspaceParameterList() -> ParameterList:
                 "warm-starting chunks on the previous chunk's states "
                 "(reference dataGenerator.py:31)",
             ],
+            "coarse_warm_start": [
+                None,
+                "grid sequencing: batched noise -> u0 map built by "
+                "fem.multigrid.coarse_newton_warm_start; each Newton solve "
+                "starts from its own coarse-mesh solution interpolant",
+            ],
         }
     )
 
@@ -174,6 +180,7 @@ class ActiveSubspaceProjector:
             collective=self.collective,
             reset_initial_guess=self.parameters["reset_initial_guess"],
             prefetch_host=self.parameters["prefetch_host"],
+            coarse_warm_start=self.parameters["coarse_warm_start"],
         )
         if self.parameters["verbose"]:
             print(

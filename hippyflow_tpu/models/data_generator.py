@@ -39,6 +39,10 @@ def data_generator_settings(settings: dict | None = None) -> dict:
     settings.setdefault("rZ", None)
     settings.setdefault("oversample", 10)
     settings.setdefault("reset_initial_guess", False)
+    # grid sequencing: batched noise -> u0 map (fem.multigrid.
+    # coarse_newton_warm_start); pure per-lane function of the noise, so
+    # chunk resume stays bit-exact
+    settings.setdefault("coarse_warm_start", None)
     settings.setdefault("save_failed_solves", True)
     settings.setdefault("verbose", True)
     settings.setdefault("chunk_size", None)
@@ -186,6 +190,7 @@ class DataGenerator:
                 chunk_size=b,
                 verbose=self.settings["verbose"],
                 reset_initial_guess=self.settings["reset_initial_guess"],
+                coarse_warm_start=self.settings["coarse_warm_start"],
             )
             payload = {
                 "m_data": np.asarray(batch.ms),

@@ -40,6 +40,11 @@ def PODParameterList() -> ParameterList:
             "plot_label_suffix": ["", "plot label suffix"],
             "save_and_plot": [False, "save arrays/plots"],
             "chunk_size": [None, "sample-batch chunk size (None = auto)"],
+            "coarse_warm_start": [
+                None,
+                "grid sequencing: batched noise -> u0 map built by "
+                "fem.multigrid.coarse_newton_warm_start",
+            ],
             "seed": [0, "PRNG seed"],
         }
     )
@@ -91,6 +96,7 @@ class PODProjector:
             chunk_size=self.parameters["chunk_size"],
             verbose=self.parameters["verbose"],
             collective=self.collective,
+            coarse_warm_start=self.parameters["coarse_warm_start"],
         )
 
     def construct_subspace(self):
@@ -198,6 +204,7 @@ class PODProjector:
                 control_distribution=self.control_distribution,
                 chunk_size=b,
                 verbose=self.parameters["verbose"],
+                coarse_warm_start=self.parameters["coarse_warm_start"],
                 collective=self.collective,
             )
             payload = {

@@ -127,11 +127,13 @@ def sample_until_solved(
     ``coarse_warm_start`` (optional): a batched map ``noise -> u0`` built by
     :func:`hippyflow_tpu.fem.multigrid.coarse_newton_warm_start` — grid
     sequencing.  Each sample's Newton solve starts from the interpolant of
-    its OWN coarse-mesh solution (measured: 3 iterations instead of 5-6 on
-    the confusion problem, with the coarse solve ~1/16 of a fine iteration).
-    Being a deterministic function of the sample's noise it preserves the
-    bit-exact resume guarantee, so it composes with the chunk-resumable
-    drivers; it takes precedence over the cross-chunk state carrying below.
+    its OWN coarse-mesh solution (measured on the v5e confusion problem:
+    2 fine iterations instead of 5 at nx=64, 1 instead of 5 at nx=192 —
+    1.35x/2.51x on the forward stage including the coarse solves,
+    benchmarks/probe_gridseq.py).  Being a deterministic function of the
+    sample's noise it preserves the bit-exact resume guarantee, so it
+    composes with the chunk-resumable drivers; it takes precedence over
+    the cross-chunk state carrying below.
 
     Failed lanes (non-converged Newton) are resampled with fresh noise, up to
     ``max_tries`` sweeps; a hard failure raises, mirroring the reference's
