@@ -472,6 +472,19 @@ def run_helmholtz_lane():
     nx = int(os.environ.get("BENCH_HELM_NX", 64))
     n_samples = int(os.environ.get("BENCH_HELM_SAMPLES", 32))
     rank = int(os.environ.get("BENCH_HELM_RANK", 128))
+    # Per-lane mixed-precision policy: the LINEAR helmholtz solves have no
+    # Newton iteration whose convergence a low-precision factor can stall
+    # (the confusion lanes measured 3x SLOWER under 'default' precision —
+    # probe_precision.py), so the policy is a per-lane knob, applied for
+    # this lane only and restored on exit.
+    helm_prec = os.environ.get("BENCH_HELM_SOLVER_PREC", "")
+    helm_refine = int(os.environ.get("BENCH_HELM_REFINE", "0"))
+    _prec_prev = None
+    if helm_prec:
+        from hippyflow_tpu import config as hf_config
+
+        _prec_prev = hf_config.set_solver_precision(helm_prec, helm_refine)
+        log(f"helmholtz solver precision: {helm_prec} + {helm_refine} refine")
     solver_kw = (
         {"solver": os.environ["BENCH_SOLVER"]}
         if os.environ.get("BENCH_SOLVER")
@@ -490,15 +503,16 @@ def run_helmholtz_lane():
         params["oversampling"] = OVERSAMPLING
         params["samples_per_process"] = n_samples
         params["verbose"] = True
-        # measured: auto chunking picks 4 at s=516; chunk 8 runs the lane
-        # 21% faster (7.21 -> 5.72 s) and 16 OOMed the Jacobian stage back
-        # when it factorized both directions (~1 GB/sample); the
-        # adjoint-only factor halves that, so the jac chunk gets its own
-        # (probeable) knob
-        chunk = int(os.environ.get("BENCH_HELM_CHUNK", 8)) or None
+        # measured (probe_helm_prec.py, r4): auto chunking picks 4 at
+        # s=516; chunk 8 ran 21% faster than 4; chunk 16 — which OOMed the
+        # Jacobian stage back when it factorized both directions
+        # (~1 GB/sample) — fits with the adjoint-only factor and is the
+        # new winner: forward 2.20 -> 1.85 s, jacobian 2.68 -> 2.41 s for
+        # the 32-sample lane, J accuracy unchanged (1.6e-6)
+        chunk = int(os.environ.get("BENCH_HELM_CHUNK", 16)) or None
         if chunk is not None:
             params["chunk_size"] = min(chunk, n_samples)
-        jac_chunk = int(os.environ.get("BENCH_HELM_JAC_CHUNK", 0)) or None
+        jac_chunk = int(os.environ.get("BENCH_HELM_JAC_CHUNK", 16)) or None
         if jac_chunk is not None:
             params["jac_chunk_size"] = min(jac_chunk, n_samples)
         return ActiveSubspaceProjector(obs, prior, parameters=params)
@@ -534,6 +548,10 @@ def run_helmholtz_lane():
         f"d[:4]={np.asarray(d[:4])}"
     )
     assert np.isfinite(np.asarray(d)).all(), "helmholtz spectrum not finite"
+    if _prec_prev is not None:
+        from hippyflow_tpu import config as hf_config
+
+        hf_config.set_solver_precision(*_prec_prev)
     return elapsed, first_run, stages
 
 
@@ -1411,6 +1429,13 @@ def main():
             log(f"nx192 run failed: {e}")
             extra["nx192_error"] = str(e)[:200]
         mark_programs("nx192")
+        # drop the nx192 lane's device buffers (its Jacobian stack alone is
+        # ~4.9 GB) before the helmholtz lane allocates its s=516 factors:
+        # measured +1.5 s on the helmholtz forward stage when the allocator
+        # is still fragmented by the previous lane
+        import gc
+
+        gc.collect()
     if os.environ.get("BENCH_HELMHOLTZ", "1") == "1":
         try:
             t_h, first_h, stages_h = retry_transient(
