@@ -177,6 +177,11 @@ def helmholtz_linear_observable(
         bc,
         is_fwd_linear=True,
         rhs_vector=rhs,
+        # the split form [[P, Q], [Q, -P]] (helmholtz_form: the imaginary
+        # equation is sign-flipped) assembles to A^T = A — indefinite, so
+        # no Cholesky, but an adjoint factor serves forward solves and the
+        # AS pipeline runs the fused one-factorization-per-sample pass
+        operator_symmetric=pde_kwargs.pop("operator_symmetric", True),
         **pde_kwargs,
     )
 

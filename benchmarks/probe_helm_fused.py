@@ -1,0 +1,64 @@
+"""Chunk sizing for the FUSED helmholtz forward+Jacobian pass
+(`sampling.sample_and_materialize_symmetric`): one adjoint-only
+factorization per sample now serves both solves, so the per-sample live
+set is roughly half the staged path's — does chunk 32 fit (it OOM'd the
+staged path) and does it beat the measured chunk-16 lane (2.59 s / 32)?
+
+Uses the real lane path so the persistent compile cache from bench runs
+applies.
+"""
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+
+jax.config.update("jax_default_matmul_precision", "highest")
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(REPO, ".bench", "jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+from applications.helmholtz import helmholtz_linear_observable, helmholtz_prior
+from hippyflow_tpu.models.sampling import sample_and_materialize_symmetric
+from hippyflow_tpu.utils import KeyChain
+
+NX = int(os.environ.get("PROBE_NX", 64))
+N = int(os.environ.get("PROBE_N", 32))
+CHUNKS = [int(c) for c in os.environ.get("PROBE_CHUNKS", "16,32").split(",")]
+SEEDS = [int(s) for s in os.environ.get("PROBE_SEEDS", "0,1").split(",")]
+REFINE = int(os.environ.get("PROBE_REFINE", "1"))
+
+print("devices:", jax.devices(), flush=True)
+obs, Vh = helmholtz_linear_observable(nx=NX, frequency=600.0)
+prior = helmholtz_prior(Vh)
+
+for c in CHUNKS:
+    first = True
+    for seed in SEEDS:
+        try:
+            t0 = time.time()
+            s, Js = sample_and_materialize_symmetric(
+                obs, prior, KeyChain(seed), N, chunk_size=c,
+                refine_steps=REFINE,
+            )
+            jax.block_until_ready(Js)
+            dt = time.time() - t0
+        except Exception as e:  # noqa: BLE001 — report OOM/compile per chunk
+            print(f"chunk {c:3d}: FAILED: {type(e).__name__}: {e}", flush=True)
+            break
+        tag = " (warm/compile)" if first else ""
+        print(
+            f"chunk {c:3d} seed {seed}: {dt:7.2f}s for {N} samples "
+            f"({dt / N * 1e3:.1f} ms/sample, failures {s.n_failures})"
+            f"{tag}",
+            flush=True,
+        )
+        first = False

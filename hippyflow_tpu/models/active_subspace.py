@@ -47,6 +47,7 @@ from .sampling import (
     jit_lifted,
     linearize_batch,
     materialize_jacobians,
+    sample_and_materialize_symmetric,
     sample_until_solved,
 )
 
@@ -204,9 +205,43 @@ class ActiveSubspaceProjector:
           SeriallySampledJacobianOperator memory/time tradeoff
           (`activeSubspaceProjector.py:97-248`).
         """
+        materializable = getattr(self.observable.B, "materializable", True)
+        problem = self.observable.problem
+        if (
+            self.samples is None
+            and self.Js is None
+            and materializable
+            and not self.parameters["serialized_sampling"]
+            and not self.parameters["ms_given"]
+            and self.control_distribution is None
+            and getattr(problem, "is_fwd_linear", False)
+            and getattr(problem, "operator_symmetric", False)
+            and self.parameters["coarse_warm_start"] is None
+        ):
+            # fused pass: ONE adjoint factorization per sample serves the
+            # forward solve (A^T = A) and the dQ-rhs Jacobian solve —
+            # halves the lane's dominant assembly+factorization cost
+            # (sampling.sample_and_materialize_symmetric)
+            t0 = time.time()
+            self.samples, self.Js = sample_and_materialize_symmetric(
+                self.observable,
+                self.prior,
+                self.keychain,
+                self.parameters["samples_per_process"],
+                chunk_size=(
+                    self.parameters["jac_chunk_size"]
+                    or self.parameters["chunk_size"]
+                ),
+                verbose=self.parameters["verbose"],
+            )
+            if self.parameters["verbose"]:
+                print(
+                    f"fused forward+jacobian sampling took "
+                    f"{time.time() - t0:.3f}s "
+                    f"({self.samples.n_failures} resampled failures)"
+                )
         self._ensure_samples()
         s = self.samples
-        materializable = getattr(self.observable.B, "materializable", True)
 
         if self.parameters["serialized_sampling"]:
             J = ObservableJacobian(self.observable)

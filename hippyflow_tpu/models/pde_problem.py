@@ -188,6 +188,7 @@ class VariationalPDEProblem:
         solver: str = "auto",
         dist_mesh=None,
         dist_axis: str = "fem",
+        operator_symmetric: bool = False,
     ):
         from ..fem.vector_assembly import VectorBoundGalerkinForm, VectorGalerkinForm
 
@@ -282,6 +283,14 @@ class VariationalPDEProblem:
             "DirichletBC mask length must match the (stacked) state dimension"
         )
         self.is_fwd_linear = is_fwd_linear
+        # A^T = A as ASSEMBLED (possibly indefinite — e.g. the split-complex
+        # Helmholtz/PML form [[P, Q], [Q, -P]] with P, Q symmetric): an
+        # adjoint factor then serves forward solves too, enabling the fused
+        # sample+Jacobian pass (sampling.sample_and_materialize_symmetric)
+        # that factorizes each sample ONCE for the whole AS pipeline.
+        # Distinct from the form's `symmetric` flag, which additionally
+        # implies definiteness (Cholesky eligibility).
+        self.operator_symmetric = bool(operator_symmetric)
         self.control_dim = control_dim
         self.newton_rtol = newton_rtol
         self.newton_atol = newton_atol
@@ -435,7 +444,9 @@ class VariationalPDEProblem:
             return self._solve_linear(m, z)
         return self._solve_newton(m, z, u0)
 
-    def _solve_linear(self, m, z):
+    def linear_rhs(self, m, z=None):
+        """Right-hand side of the linear forward system (bc rows carry the
+        Dirichlet values; inhomogeneous-bc lift applied matrix-free)."""
         zero = jnp.zeros(self.state_dim, dtype=m.dtype)
         b = -self.bound.residual(zero, m, z)
         if self.rhs_vector is not None:
@@ -452,6 +463,20 @@ class VariationalPDEProblem:
                 lambda uu: self.bound.residual(uu, m, z), (zero,), (g,)
             )[1]
             b = jnp.where(mask, g, b - lift)
+        return b
+
+    def linear_convergence_check(self, u, m, b, z=None):
+        """Convergence flag of a solved linear system (see the tolerance
+        rationale in _solve_linear). Returns (converged, residual_norm)."""
+        rn = jnp.linalg.norm(self.residual_masked(u, m, z))
+        eps = float(jnp.finfo(m.dtype).eps)
+        tol_rel = max(1e3 * eps, min(1e3 * eps**0.5, 1e-4))
+        tol = tol_rel * (1.0 + jnp.linalg.norm(b))
+        return rn <= tol, rn
+
+    def _solve_linear(self, m, z):
+        zero = jnp.zeros(self.state_dim, dtype=m.dtype)
+        b = self.linear_rhs(m, z)
         fac = self._assemble_factorize(zero, m, z, needs="fwd")
         u = fac.solve(b)
         # Real convergence flag (direct factors trivially pass; a stagnated
@@ -461,12 +486,9 @@ class VariationalPDEProblem:
         # condition numbers, tight enough that a stagnated iterative solve
         # (percent-level residual) is flagged in BOTH dtypes (the plain
         # 1e3*sqrt(eps) formula is vacuous at 0.35 relative in f32).
-        rn = jnp.linalg.norm(self.residual_masked(u, m, z))
-        eps = float(jnp.finfo(m.dtype).eps)
-        tol_rel = max(1e3 * eps, min(1e3 * eps**0.5, 1e-4))
-        tol = tol_rel * (1.0 + jnp.linalg.norm(b))
+        ok, rn = self.linear_convergence_check(u, m, b, z)
         info = NewtonInfo(
-            converged=rn <= tol,
+            converged=ok,
             iterations=jnp.asarray(1),
             residual_norm=rn,
         )

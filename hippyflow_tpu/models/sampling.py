@@ -345,6 +345,131 @@ def sample_until_solved(
     )
 
 
+def sample_and_materialize_symmetric(
+    observable: LinearStateObservable,
+    prior,
+    keychain,
+    n_samples: int,
+    chunk_size: int | None = None,
+    max_tries: int = 10,
+    refine_steps: int = 1,
+    verbose: bool = False,
+) -> tuple[SampleBatch, jax.Array]:
+    """Fused forward + Jacobian sampling for LINEAR problems whose assembled
+    operator is symmetric: A^T = A, possibly indefinite (the split-complex
+    Helmholtz/PML form [[P, Q], [Q, -P]], `applications/helmholtz.py:98`).
+
+    The staged AS pipeline assembles and factorizes each sample TWICE —
+    once for the forward solve (solve_fwd), once for the dQ-rhs adjoint
+    solve (linearize(needs='adj'), `materialize_jacobians`).  With A^T = A
+    a single adjoint-only factorization serves both: u = A^{-T} b solved
+    through the same factor that materializes J.  Measured on the
+    helmholtz bench lane this halves the dominant per-sample
+    assembly+factorization cost (the reference likewise reuses its
+    per-sample LU across that sample's solves,
+    `hippyflow/modeling/jacobian.py:117-139`).
+
+    PRNG-stream compatible with `sample_until_solved` (same per-chunk
+    normal draws), so fused and staged runs see identical parameters.
+    Returns (SampleBatch, Js) with Js (n, dQ, dM).
+    """
+    problem = observable.problem
+    assert problem.is_fwd_linear and problem.operator_symmetric
+    assert not np.asarray(problem.bc.mask).any(), (
+        "fused symmetric sampling supports no-Dirichlet problems (PML); "
+        "Dirichlet rows break A^T = A after bc masking"
+    )
+    dtype = prior.mean.dtype
+    if chunk_size is None:
+        chunk_size = auto_chunk_size(problem.state_dim, dtype, problem=problem)
+    J = ObservableJacobian(observable)
+    cache = _jit_cache(observable)
+
+    def one(noise):
+        m = prior.sample(noise)
+        zero = jnp.zeros(problem.state_dim, dtype=m.dtype)
+        lin = problem.linearize(zero, m, None, needs="adj")
+        b = problem.linear_rhs(m)
+        u = problem.solve_incremental(lin, b, is_adj=True)  # A^T = A
+        # fixed-precision iterative refinement through the SAME factor:
+        # measured on the f32 TPU lane, raw trans-solve residuals cluster
+        # AT the convergence tolerance (4/32 samples flagged at seed 1,
+        # each flag costing a full resample sweep); one sweep drops the
+        # backward error to ~eps and costs one 1-rhs solve + one matvec
+        # against the 200-rhs Jacobian solve below (<1% of the chunk)
+        for _ in range(refine_steps):
+            r = problem.residual_masked(u, m, None)  # = A u - b (affine r)
+            u = u - problem.solve_incremental(lin, r, is_adj=True)
+        ok, _ = problem.linear_convergence_check(u, m, b)
+        q = observable.evalu(u)
+        # A is u-independent (linear) but C = dr/dm is NOT: rebind the
+        # linearization point to the solved state, keeping the factor
+        Jm = J.materialize(lin._replace(u=u))
+        return m, u, q, Jm, ok
+
+    def get_chunk_fn(b: int):
+        ck = ("fused_sym", id(prior), b, str(dtype))
+        if ck not in cache:
+            noise_ex = jax.ShapeDtypeStruct((b, prior.noise_dim), dtype)
+            cache[ck] = jit_lifted(jax.vmap(one), noise_ex)
+        return cache[ck]
+
+    # dispatch all chunks, then one sync on the converged flags (same
+    # two-stage structure and failure semantics as sample_until_solved)
+    chunks = []
+    remaining = n_samples
+    while remaining > 0:
+        b = min(chunk_size, remaining)
+        noise = keychain.normal((b, prior.noise_dim), dtype=dtype)
+        chunks.append(list(get_chunk_fn(b)(noise)))
+        remaining -= b
+        if verbose:
+            print(f"  dispatched {n_samples - remaining}/{n_samples}", flush=True)
+
+    ms_o, us_o, qs_o, Js_o = [], [], [], []
+    failed_ms = []
+    n_failures = 0
+    for m, u, q, Jm, ok in chunks:
+        ok = np.asarray(ok)
+        for _ in range(max_tries):
+            if ok.all():
+                break
+            bad = np.where(~ok)[0]
+            nbad = len(bad)
+            n_failures += nbad
+            failed_ms.append(np.asarray(m[bad]))
+            if verbose:
+                print(f"resampling {nbad} failed linear solves")
+            b_re = m.shape[0]
+            noise2 = keychain.normal((b_re, prior.noise_dim), dtype=dtype)
+            m2, u2, q2, J2, ok2 = get_chunk_fn(b_re)(noise2)
+            m = m.at[bad].set(m2[:nbad])
+            u = u.at[bad].set(u2[:nbad])
+            q = q.at[bad].set(q2[:nbad])
+            Jm = Jm.at[bad].set(J2[:nbad])
+            ok_np = ok.copy()
+            ok_np[bad] = np.asarray(ok2[:nbad])
+            ok = ok_np
+        if not ok.all():
+            raise RuntimeError(
+                f"{(~ok).sum()} linear solves failed after {max_tries} sweeps"
+            )
+        ms_o.append(m)
+        us_o.append(u)
+        qs_o.append(q)
+        Js_o.append(Jm)
+
+    batch = SampleBatch(
+        ms=jnp.concatenate(ms_o),
+        us=jnp.concatenate(us_o),
+        qs=jnp.concatenate(qs_o),
+        zs=None,
+        n_failures=n_failures,
+        failed_ms=np.concatenate(failed_ms) if failed_ms else None,
+    )
+    return batch, jnp.concatenate(Js_o)
+
+
 def materialize_jacobians(
     observable: LinearStateObservable,
     ms,
