@@ -6,6 +6,17 @@ staged path) and does it beat the measured chunk-16 lane (2.59 s / 32)?
 
 Uses the real lane path so the persistent compile cache from bench runs
 applies.
+
+Measured results (v5e over the axon tunnel, 32 samples):
+  * chunk 16, refine 1: 2.48-2.49 s, 0 failures across seeds 0-3 (the
+    refine sweep is what makes the f32 convergence flag robust — without
+    it seed 1 flagged 4/32 and resampling blew the pass up to 11.8 s).
+  * chunk 32: XLA OOM — 31.2 G HBM vs 15.75 G (CR temp copies).
+  * NEGATIVE: folding the forward rhs into the Jacobian block as one
+    (1+dQ)-column trans-solve measured SLOWER (2.59-2.60 s): the
+    concatenate with the per-sample b makes the 21 MB B^T block a
+    per-sample value instead of a loop-invariant constant, adding
+    ~340 MB of HBM traffic per chunk.  Keep the separate 1-rhs solves.
 """
 
 import os
@@ -35,10 +46,16 @@ N = int(os.environ.get("PROBE_N", 32))
 CHUNKS = [int(c) for c in os.environ.get("PROBE_CHUNKS", "16,32").split(",")]
 SEEDS = [int(s) for s in os.environ.get("PROBE_SEEDS", "0,1").split(",")]
 REFINE = int(os.environ.get("PROBE_REFINE", "1"))
+# adjoint-factorization solver: the auto split (CR-adjoint) was measured at
+# s=65 x nb=577 (confusion); helmholtz is s=516 x nb=52 where the sequential
+# depth penalty of Thomas is 52 steps of MXU-sized (chunk,516,516) matmuls
+SOLVER = os.environ.get("PROBE_SOLVER", "")
 
 print("devices:", jax.devices(), flush=True)
-obs, Vh = helmholtz_linear_observable(nx=NX, frequency=600.0)
+kw = {"solver": SOLVER} if SOLVER else {}
+obs, Vh = helmholtz_linear_observable(nx=NX, frequency=600.0, **kw)
 prior = helmholtz_prior(Vh)
+print(f"solver={SOLVER or 'auto'} refine={REFINE}", flush=True)
 
 for c in CHUNKS:
     first = True
