@@ -301,6 +301,15 @@ def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str,
             restrict_injection,
         )
 
+        # depth: number of 2x-coarser grids in the nested-iteration chain.
+        # At nx=192 the nx/2 coarse solve itself cold-runs ~4 Newton
+        # iterations and is 45% of the warm-start cost; a second coarser
+        # grid (nx/4) warm-starts it too (probe_gridseq_deep.py).  nx=64's
+        # chain bottoms out quickly (nx/4 = 16 is latency-bound), so depth
+        # defaults to 2 only at nx >= 128.
+        depth = int(
+            os.environ.get("BENCH_GRIDSEQ_DEPTH", 2 if nx >= 128 else 1)
+        )
         Vc = hf.FunctionSpace(hf.unit_square_mesh(nx // 2))
         vel_c = _np.asarray(
             restrict_injection(jnp.asarray(_np.asarray(vel)), Vh, Vc)
@@ -308,10 +317,27 @@ def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str,
         obs_c, _ = confusion_linear_observable(
             nx=nx // 2, velocity=vel_c, **solver_kw
         )
+        coarser = []
+        V_prev, vel_prev, nx_prev = Vc, vel_c, nx // 2
+        for _ in range(max(0, depth - 1)):
+            if nx_prev % 2 or nx_prev // 2 < 8:
+                break
+            V_cc = hf.FunctionSpace(hf.unit_square_mesh(nx_prev // 2))
+            vel_cc = _np.asarray(
+                restrict_injection(jnp.asarray(vel_prev), V_prev, V_cc)
+            )
+            obs_cc, _ = confusion_linear_observable(
+                nx=nx_prev // 2, velocity=vel_cc, **solver_kw
+            )
+            coarser.append((obs_cc.problem, V_cc))
+            V_prev, vel_prev, nx_prev = V_cc, vel_cc, nx_prev // 2
         params["coarse_warm_start"] = coarse_newton_warm_start(
-            prior, obs_c.problem, Vh, Vc
+            prior, obs_c.problem, Vh, Vc, coarser_levels=coarser
         )
-        log("grid-sequenced Newton warm starts enabled (BENCH_GRIDSEQ=0 disables)")
+        log(
+            f"grid-sequenced Newton warm starts enabled, depth "
+            f"{1 + len(coarser)} (BENCH_GRIDSEQ=0 disables)"
+        )
     params["rank"] = rank
     params["oversampling"] = OVERSAMPLING
     params["samples_per_process"] = n_samples

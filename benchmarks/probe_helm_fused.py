@@ -11,6 +11,13 @@ Measured results (v5e over the axon tunnel, 32 samples):
   * chunk 16, refine 1: 2.48-2.49 s, 0 failures across seeds 0-3 (the
     refine sweep is what makes the f32 convergence flag robust — without
     it seed 1 flagged 4/32 and resampling blew the pass up to 11.8 s).
+  * chunk 16, refine 1, solver=thomas_inv: 2.07-2.10 s, 0 failures
+    across seeds 1-4 — 19% under the CR-adjoint split.  At s=516 x
+    nb=52 the 52 scan steps are MXU-sized (chunk,516,516) matmuls and
+    one factor set serves fwd+trans; CR pays a separate transposed-band
+    factorization plus temp copies.  Now the 'auto' pick at this
+    geometry (pde_problem.py: s >= 128 or nb <= 64 -> thomas_inv;
+    probe_jac192.py confirms the rule at s=193 x nb=193).
   * chunk 32: XLA OOM — 31.2 G HBM vs 15.75 G (CR temp copies).
   * NEGATIVE: folding the forward rhs into the Jacobian block as one
     (1+dQ)-column trans-solve measured SLOWER (2.59-2.60 s): the

@@ -12,6 +12,13 @@ materialize_jacobians on identical (ms, us) across:
 
 Uses the real lane path + persistent compile cache; run strictly alone
 (single-tenant tunnel).
+
+Measured results (v5e, 64 samples, warm):
+  auto (CR)   chunk 16: 1.51 s (23.6 ms/sample)   chunk 8: outlier 10.2 s
+  thomas_inv  chunk 16: 1.31 s (20.5 ms/sample)   chunk 8: 1.60 s
+-> the tradeoff flips at s=193 as predicted; 'auto' now picks thomas_inv
+   for adjoint factorizations when s >= 128 or nb <= 64 (pde_problem.py),
+   cutting the 256-sample lane's Jacobian stage ~0.8 s.
 """
 
 import os

@@ -78,7 +78,9 @@ def prolong_linear(xc, V_coarse, V_fine):
     return f.reshape((sfx * sfy,) + trail)
 
 
-def coarse_newton_warm_start(prior, problem_coarse, V_fine, V_coarse):
+def coarse_newton_warm_start(
+    prior, problem_coarse, V_fine, V_coarse, coarser_levels=()
+):
     """Build a per-sample warm-start map ``noise (b, noise_dim) -> u0 (b, n_f)``
     for ``sample_until_solved(coarse_warm_start=...)``.
 
@@ -88,14 +90,40 @@ def coarse_newton_warm_start(prior, problem_coarse, V_fine, V_coarse):
     solution.  Lanes whose coarse solve failed fall back to a zero initial
     guess.  The returned function is unjitted (one ``jax.vmap`` body);
     ``sample_until_solved`` jits it per chunk shape.
+
+    ``coarser_levels``: optional sequence of ``(problem, V)`` pairs, each
+    exactly 2x coarser than the previous level — FULL nested iteration:
+    the coarse Newton solve is itself warm-started from the next-coarser
+    grid, recursively, with only the coarsest level cold-starting.  At
+    nx=192 the 2-grid coarse stage is 45% of the warm-start cost and
+    cold-runs ~4 Newton iterations at nx=96; a third grid cuts those to
+    1-2 (benchmarks/probe_gridseq_deep.py).  Any level that fails to
+    converge (or goes non-finite) degrades gracefully to a zero initial
+    guess for the level above it.
     """
+    chain = [(problem_coarse, V_coarse)] + list(coarser_levels)
+
+    def solve_at(level, m_level):
+        """Solve chain[level] at its restricted parameter, warm-started
+        from chain[level+1]; returns (u, converged)."""
+        problem, V_here = chain[level]
+        u0 = None
+        if level + 1 < len(chain):
+            _, V_next = chain[level + 1]
+            m_next = restrict_injection(m_level, V_here, V_next)
+            u_next, ok_next = solve_at(level + 1, m_next)
+            u0 = prolong_linear(u_next, V_next, V_here)
+            ok0 = ok_next & jnp.all(jnp.isfinite(u0))
+            u0 = jnp.where(ok0, u0, jnp.zeros_like(u0))
+        u, info = problem.solve_fwd(m_level, u0=u0)
+        return u, info.converged
 
     def one(noise):
         m = prior.sample(noise)
         m_c = restrict_injection(m, V_fine, V_coarse)
-        u_c, info = problem_coarse.solve_fwd(m_c)
+        u_c, ok = solve_at(0, m_c)
         u0 = prolong_linear(u_c, V_coarse, V_fine)
-        good = info.converged & jnp.all(jnp.isfinite(u0))
+        good = ok & jnp.all(jnp.isfinite(u0))
         return jnp.where(good, u0, jnp.zeros_like(u0))
 
     return jax.vmap(one)

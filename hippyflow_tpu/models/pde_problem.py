@@ -251,6 +251,10 @@ class VariationalPDEProblem:
         #   log2(nb)-depth sweeps solve the dQ-rhs adjoint blocks of
         #   Jacobian materialization ~10x faster than Thomas's nb
         #   sequential steps (measured 1.4 vs 12.1 s for 1024 samples).
+        #   GEOMETRY CAVEAT: that split was measured at s=65, nb=577
+        #   (P1 nx=64) where CR's shallow recursion dominates; at large
+        #   MXU-sized blocks with short bands the tradeoff flips — see
+        #   the refinement after _block_size is known below.
         # Explicit solver= choices apply everywhere.
         if solver in ("block_tridiag", "block_cyclic", "thomas_inv"):
             self._structured_solver = self._structured_solver_fwd = solver
@@ -278,6 +282,21 @@ class VariationalPDEProblem:
             self._band_mask = jnp.asarray(
                 ordered_band_mask(np.asarray(bc.mask), border)
             )
+        # Geometry refinement of the auto ADJOINT choice (measured on v5e,
+        # benchmarks/probe_helm_fused.py + probe_jac192.py): once the blocks
+        # are MXU-sized, inverse-Thomas's nb-step scan of (batch, s, s)
+        # matmuls beats CR's transposed-band refactorization and temp-copy
+        # traffic — AND serves fwd+trans solves from ONE factor set:
+        #   s=516 x nb=52  (helmholtz P2 split-complex): 2.07 vs 2.48 s
+        #     for the 32-sample fused lane;
+        #   s=193 x nb=193 (confusion nx=192): 20.5 vs 23.6 ms/sample
+        #     for the 128-rhs Jacobian trans-solves at jac chunk 16.
+        # CR keeps the small-block/long-band regime (s=65 x nb=577 above),
+        # where its log2(nb)=10 levels beat 577 latency-bound tiny steps.
+        if solver == "auto" and self._use_block_tridiag:
+            nb = self.state_dim // self._block_size
+            if self._block_size >= 128 or nb <= 64:
+                self._structured_solver = "thomas_inv"
         self.bc = bc
         assert bc.mask.shape[0] == self.state_dim, (
             "DirichletBC mask length must match the (stacked) state dimension"

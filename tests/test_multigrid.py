@@ -99,3 +99,36 @@ def test_sample_until_solved_gridseq_bitexact_and_stream_preserving():
     np.testing.assert_allclose(
         np.asarray(b1.us), np.asarray(b0.us), atol=1e-5
     )
+
+
+def test_recursive_chain_matches_two_grid():
+    """coarser_levels (full nested iteration) must produce a warm start of
+    the same quality as the 2-grid map — identical fine solutions, no lane
+    regressing past the 2-grid iteration count — while consuming no PRNG
+    keys (same determinism contract)."""
+    nx = 16
+    obs, Vf = confusion_linear_observable(nx=nx, velocity="analytic")
+    obs_c, Vc = confusion_linear_observable(nx=nx // 2, velocity="analytic")
+    obs_cc, Vcc = confusion_linear_observable(nx=nx // 4, velocity="analytic")
+    prior = confusion_prior(Vf)
+    cws2 = coarse_newton_warm_start(prior, obs_c.problem, Vf, Vc)
+    cws3 = coarse_newton_warm_start(
+        prior, obs_c.problem, Vf, Vc,
+        coarser_levels=[(obs_cc.problem, Vcc)],
+    )
+    noise = KeyChain(5).normal((6, prior.noise_dim))
+    ms = jax.vmap(prior.sample)(noise)
+    u0_2, u0_3 = cws2(noise), cws3(noise)
+    assert bool(jnp.all(jnp.isfinite(u0_3)))
+    # both chains land on the same coarse Newton root -> near-equal u0
+    np.testing.assert_allclose(
+        np.asarray(u0_3), np.asarray(u0_2), atol=1e-5
+    )
+    solve = jax.jit(jax.vmap(lambda m, u: obs.problem.solve_fwd(m, u0=u)))
+    u2, info2 = solve(ms, u0_2)
+    u3, info3 = solve(ms, u0_3)
+    assert bool(info2.converged.all()) and bool(info3.converged.all())
+    assert int(info3.iterations.max()) <= int(info2.iterations.max())
+    np.testing.assert_allclose(np.asarray(u3), np.asarray(u2), atol=1e-5)
+    # determinism: re-evaluating the 3-grid map is bitwise identical
+    np.testing.assert_array_equal(np.asarray(cws3(noise)), np.asarray(u0_3))

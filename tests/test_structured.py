@@ -514,3 +514,52 @@ class TestMixedPrecisionRefinement:
                 np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-11)
         finally:
             hf_config.set_solver_precision(*prev)
+
+
+class TestAutoSolverGeometry:
+    """'auto' splits the structured factorization by usage AND band
+    geometry (measured on v5e, benchmarks/probe_helm_fused.py /
+    probe_jac192.py): forward solves always take inverse-Thomas; adjoint
+    factorizations take cyclic reduction only in the small-block/long-band
+    regime (s < 128 and nb > 64) where CR's log2(nb) recursion beats the
+    nb latency-bound scan steps.  MXU-sized blocks or short bands flip to
+    inverse-Thomas, whose single factor set serves fwd+trans solves."""
+
+    def _poisson(self, n):
+        from hippyflow_tpu.testing import (
+            poisson_control_settings,
+            setup_poisson_control_problem,
+        )
+
+        settings = poisson_control_settings()
+        settings["nx"] = settings["ny"] = n
+        pde, *_ = setup_poisson_control_problem(settings)
+        return pde
+
+    def test_small_block_long_band_keeps_cr_adjoint(self):
+        pde = self._poisson(70)  # s=71, nb=71
+        assert pde._structured_solver == "block_cyclic"
+        assert pde._structured_solver_fwd == "thomas_inv"
+
+    def test_short_band_picks_thomas_inv(self):
+        pde = self._poisson(20)  # s=21, nb=21 <= 64
+        assert pde._structured_solver == "thomas_inv"
+
+    def test_large_block_picks_thomas_inv(self):
+        """The helmholtz P2 split-complex ordered band (s=2*2*(2*nx+1))
+        crosses the s >= 128 boundary already at nx=16."""
+        from applications.helmholtz import helmholtz_linear_observable
+
+        obs, _ = helmholtz_linear_observable(nx=16, frequency=150.0)
+        p = obs.problem
+        assert p._block_size >= 128
+        assert p._structured_solver == "thomas_inv"
+
+    def test_explicit_choice_overrides_geometry(self):
+        from applications.helmholtz import helmholtz_linear_observable
+
+        obs, _ = helmholtz_linear_observable(
+            nx=16, frequency=150.0, solver="block_cyclic"
+        )
+        assert obs.problem._structured_solver == "block_cyclic"
+        assert obs.problem._structured_solver_fwd == "block_cyclic"
