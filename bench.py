@@ -303,12 +303,13 @@ def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str,
 
         # depth: number of 2x-coarser grids in the nested-iteration chain.
         # At nx=192 the nx/2 coarse solve itself cold-runs ~4 Newton
-        # iterations and is 45% of the warm-start cost; a second coarser
-        # grid (nx/4) warm-starts it too (probe_gridseq_deep.py).  nx=64's
-        # chain bottoms out quickly (nx/4 = 16 is latency-bound), so depth
-        # defaults to 2 only at nx >= 128.
+        # iterations and is 45% of the warm-start cost; deeper chains
+        # warm-start it too.  Measured map cost (probe_gridseq_deep.py,
+        # batch 32): depth 1/2/3 = 417/249/229 ms, fine iters stay 1.
+        # nx=64 (batch 256): depth 1/2/3 = 98.8/77.1/80.5 ms — depth 2
+        # wins, the nx=8 bottom grid is latency-bound.
         depth = int(
-            os.environ.get("BENCH_GRIDSEQ_DEPTH", 2 if nx >= 128 else 1)
+            os.environ.get("BENCH_GRIDSEQ_DEPTH", 3 if nx >= 128 else 2)
         )
         Vc = hf.FunctionSpace(hf.unit_square_mesh(nx // 2))
         vel_c = _np.asarray(

@@ -10,6 +10,13 @@ coarsest grid cold-starting (fem/multigrid.py coarser_levels).
 The fine Newton stage is depth-independent (same u0 quality to solver
 tolerance), so only the map is timed; run strictly alone (single-tenant
 tunnel).
+
+Measured (v5e; fine iters and convergence are depth-independent):
+  nx=192 batch  32: depth 1/2/3 = 417.3/248.6/228.6 ms
+  nx= 64 batch 256: depth 1/2/3 =  98.8/ 77.1/ 80.5 ms
+-> the nx/2 coarse Newton was indeed the map's cost center; bench
+   defaults (BENCH_GRIDSEQ_DEPTH): 3 at nx >= 128, else 2 (the nx=8
+   bottom grid at depth 3/nx=64 is latency-bound and regresses).
 """
 
 import os
