@@ -242,10 +242,14 @@ def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str,
     import jax
 
     # persistent compilation cache: compiles over the TPU tunnel cost
-    # minutes and vary wildly; cache them across bench invocations
+    # minutes and vary wildly; cache them across bench invocations.
+    # BENCH_CACHE_DIR overrides (point it at a throwaway dir to measure
+    # true cold-compile first_run_s).
     try:
         jax.config.update(
-            "jax_compilation_cache_dir", os.path.join(BENCH_DIR, "jax_cache")
+            "jax_compilation_cache_dir",
+            os.environ.get("BENCH_CACHE_DIR")
+            or os.path.join(BENCH_DIR, "jax_cache"),
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
@@ -1369,7 +1373,9 @@ def main():
     # persistent compile cache writes one entry per XLA program, so the
     # per-lane delta in cache-entry count = programs that lane compiled
     # fresh this run (0 on a warm cache).
-    cache_dir = os.path.join(BENCH_DIR, "jax_cache")
+    cache_dir = os.environ.get("BENCH_CACHE_DIR") or os.path.join(
+        BENCH_DIR, "jax_cache"
+    )
 
     def _n_cache_entries() -> int:
         try:

@@ -66,6 +66,37 @@ def solver_refine_steps() -> int:
     return _solver_refine_steps
 
 
+# ---------------------------------------------------------------------------
+# Parallel program pre-compilation (VERDICT r3 item 3: first-run compile time)
+# ---------------------------------------------------------------------------
+# The pipeline's XLA programs (coarse warm-start chain, fine Newton solve,
+# Jacobian materialization, randomized GHEP) are independent; compiling them
+# serially — the natural consequence of execute-to-compile warmup — costs
+# their SUM (530 s cold at nx=192 over the axon remote-compile tunnel) when
+# the wall-clock floor is their MAX.  `precompile_parallel` overlaps them in
+# threads.  Opt-out knob for transports that serialize or reject concurrent
+# compile requests.
+_parallel_precompile: bool = True
+
+
+def set_parallel_precompile(enabled: bool) -> bool:
+    """Enable/disable threaded AOT pre-compilation of independent pipeline
+    programs (returns the previous setting).  Env override:
+    HF_PARALLEL_PRECOMPILE=0 disables regardless."""
+    global _parallel_precompile
+    prev = _parallel_precompile
+    _parallel_precompile = bool(enabled)
+    return prev
+
+
+def parallel_precompile() -> bool:
+    import os
+
+    if os.environ.get("HF_PARALLEL_PRECOMPILE", "") == "0":
+        return False
+    return _parallel_precompile
+
+
 def default_dtype():
     """Library default floating dtype: f64 when x64 is enabled, else f32."""
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

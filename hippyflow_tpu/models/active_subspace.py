@@ -189,6 +189,21 @@ class ActiveSubspaceProjector:
                 f"({self.samples.n_failures} resampled failures)"
             )
 
+    def _fused_symmetric_eligible(self) -> bool:
+        """True when sampling takes the fused forward+Jacobian pass
+        (`sampling.sample_and_materialize_symmetric`): linear symmetric
+        operator, materializable observable, plain prior sampling."""
+        problem = self.observable.problem
+        return (
+            getattr(self.observable.B, "materializable", True)
+            and not self.parameters["serialized_sampling"]
+            and not self.parameters["ms_given"]
+            and self.control_distribution is None
+            and getattr(problem, "is_fwd_linear", False)
+            and getattr(problem, "operator_symmetric", False)
+            and self.parameters["coarse_warm_start"] is None
+        )
+
     def _avg_gn_operator(self, operation: str):
         """Block callable for E[J^T J] (operation='JTJ') or E[J J^T] ('JJT').
 
@@ -210,13 +225,7 @@ class ActiveSubspaceProjector:
         if (
             self.samples is None
             and self.Js is None
-            and materializable
-            and not self.parameters["serialized_sampling"]
-            and not self.parameters["ms_given"]
-            and self.control_distribution is None
-            and getattr(problem, "is_fwd_linear", False)
-            and getattr(problem, "operator_symmetric", False)
-            and self.parameters["coarse_warm_start"] is None
+            and self._fused_symmetric_eligible()
         ):
             # fused pass: ONE adjoint factorization per sample serves the
             # forward solve (A^T = A) and the dQ-rhs Jacobian solve —
@@ -367,6 +376,124 @@ class ActiveSubspaceProjector:
 
         return jax.jit(matmat)
 
+    def _ghep_in_program(self, Js_shape, Om_shape, dtype):
+        """The single fused randomized-GHEP program for the input subspace
+        (materialized-Jacobian path), keyed in the observable's jit cache so
+        `precompile_programs` can build it from predicted shapes before the
+        Jacobians exist."""
+        cache = _jit_cache(self.observable)
+        r = self.parameters["rank"]
+        ck = ("ghep_in", id(self.prior), r, tuple(Js_shape), tuple(Om_shape))
+        if ck not in cache:
+            prior = self.prior
+
+            def run(J, Om):
+                avg = lambda X: (
+                    jnp.einsum(
+                        "sqm,sqk->mk", J, jnp.einsum("sqm,mk->sqk", J, X)
+                    )
+                    / J.shape[0]
+                )
+                d, V = double_pass_g(
+                    avg, prior.R_matmat, prior.Rsolver_matmat, Om, r, s=1
+                )
+                return d, V, prior.R_matmat(V)
+
+            cache[ck] = jit_lifted(
+                run,
+                jax.ShapeDtypeStruct(tuple(Js_shape), dtype),
+                jax.ShapeDtypeStruct(tuple(Om_shape), dtype),
+            )
+        return cache[ck]
+
+    def precompile_programs(self, prior_preconditioned: bool = True) -> int:
+        """Threaded AOT pre-compilation of the input-subspace pipeline's
+        independent XLA programs: coarse warm-start chain, batched Newton
+        (or the fused linear-symmetric pass), Jacobian materialization, and
+        the randomized GHEP.  A serial execute-to-compile warmup pays the
+        SUM of their compile times (530 s cold at nx=192 over the remote
+        tunnel); overlapping them pays roughly the MAX.  No PRNG is drawn,
+        so the subsequent run's samples are bitwise unchanged.  Returns the
+        number of programs handed to the pool (0 when inapplicable:
+        sharded collectives, ms_given, serialized sampling, non-dense
+        observables, or results already in hand)."""
+        from .. import config as hf_config
+
+        if not hf_config.parallel_precompile():
+            return 0
+        if self.collective.size() > 1:
+            return 0
+        if self.parameters["ms_given"] or self.parameters["serialized_sampling"]:
+            return 0
+        if not getattr(self.observable.B, "materializable", True):
+            return 0
+        if self.Js is not None:
+            return 0
+        n = self.parameters["samples_per_process"]
+        dtype = self.prior.mean.dtype
+        dM, dQ = self.observable.dM, self.observable.dQ
+        builders = []
+        if self._fused_symmetric_eligible():
+            if self.samples is None:
+                builders += sample_and_materialize_symmetric(
+                    self.observable,
+                    self.prior,
+                    self.keychain,
+                    n,
+                    chunk_size=(
+                        self.parameters["jac_chunk_size"]
+                        or self.parameters["chunk_size"]
+                    ),
+                    precompile_only=True,
+                )
+        else:
+            if self.samples is None:
+                builders += sample_until_solved(
+                    self.observable,
+                    self.prior,
+                    self.keychain,
+                    n,
+                    control_distribution=self.control_distribution,
+                    chunk_size=self.parameters["chunk_size"],
+                    reset_initial_guess=self.parameters["reset_initial_guess"],
+                    coarse_warm_start=self.parameters["coarse_warm_start"],
+                    precompile_only=True,
+                )
+            ms_ex = jax.ShapeDtypeStruct((n, dM), dtype)
+            us_ex = jax.ShapeDtypeStruct(
+                (n, self.observable.problem.state_dim), dtype
+            )
+            zs_ex = (
+                jax.ShapeDtypeStruct((n, self.control_distribution.dim), dtype)
+                if self.control_distribution is not None
+                else None
+            )
+            builders += materialize_jacobians(
+                self.observable,
+                ms_ex,
+                us_ex,
+                zs_ex,
+                chunk_size=(
+                    self.parameters["jac_chunk_size"]
+                    or self.parameters["chunk_size"]
+                ),
+                precompile_only=True,
+            )
+        if prior_preconditioned:
+            r = self.parameters["rank"]
+            p = self.parameters["oversampling"]
+            Js_shape = (n, dQ, dM)
+            Om_shape = (dM, r + p)
+            builders.append(
+                lambda: self._ghep_in_program(Js_shape, Om_shape, dtype)
+            )
+        from .sampling import precompile_parallel
+
+        precompile_parallel(
+            builders, verbose=self.parameters["verbose"], label="[as]"
+        )
+        return len(builders)
+
     # -- input subspace ------------------------------------------------------
     def construct_input_subspace(self, prior_preconditioned: bool = True):
         """GHEP of E[J^T J] against R (or HEP when not preconditioned).
@@ -374,6 +501,9 @@ class ActiveSubspaceProjector:
         Returns (d_GN, decoder, encoder) with encoder = R @ decoder, matching
         `activeSubspaceProjector.py:449-463`."""
         t0 = time.time()
+        # overlap the pipeline's independent XLA compiles (cold-start cost
+        # over the remote tunnel is minutes per program; see the method doc)
+        self.precompile_programs(prior_preconditioned)
         avg_JTJ = self._avg_gn_operator("JTJ")
         r = self.parameters["rank"]
         p = self.parameters["oversampling"]
@@ -390,29 +520,10 @@ class ActiveSubspaceProjector:
         # TPU tunnel (minutes); a single jit compiles once and lets XLA fuse.
         if prior_preconditioned:
             if self.Js is not None:
-                cache = _jit_cache(self.observable)
-                ck = ("ghep_in", id(self.prior), r, self.Js.shape, Omega.shape)
-                if ck not in cache:
-                    prior = self.prior
-
-                    def run(J, Om):
-                        avg = lambda X: (
-                            jnp.einsum(
-                                "sqm,sqk->mk", J, jnp.einsum("sqm,mk->sqk", J, X)
-                            )
-                            / J.shape[0]
-                        )
-                        d, V = double_pass_g(
-                            avg, prior.R_matmat, prior.Rsolver_matmat, Om, r, s=1
-                        )
-                        return d, V, prior.R_matmat(V)
-
-                    cache[ck] = jit_lifted(
-                        run,
-                        jax.ShapeDtypeStruct(self.Js.shape, self.Js.dtype),
-                        jax.ShapeDtypeStruct(Omega.shape, Omega.dtype),
-                    )
-                self.d_GN, self.V_GN, as_encoder = cache[ck](self.Js, Omega)
+                prog = self._ghep_in_program(
+                    self.Js.shape, Omega.shape, self.Js.dtype
+                )
+                self.d_GN, self.V_GN, as_encoder = prog(self.Js, Omega)
                 as_decoder = self.V_GN
             else:
                 self.d_GN, self.V_GN = double_pass_g(

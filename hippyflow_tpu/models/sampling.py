@@ -82,11 +82,83 @@ def jit_lifted(fn, *example_args, donate_argnums=()):
     consts are appended after them, so the positions are unchanged)."""
     converted, consts = jax.closure_convert(fn, *example_args)
     jfn = jax.jit(converted, donate_argnums=donate_argnums)
+    box: dict = {}
 
     def call(*args):
+        exe = box.get("exe")
+        if exe is not None:
+            try:
+                return exe(*args, *consts)
+            except Exception:
+                # AOT executables are strict about shardings/devices; a
+                # mismatched call (e.g. sharded arrays into a program
+                # precompiled for one device) degrades to the jit path,
+                # which specializes per input layout like any jit.
+                box["exe"] = None
         return jfn(*args, *consts)
 
+    def precompile():
+        """AOT-compile at the example shapes (idempotent, thread-safe to
+        run for DISTINCT programs concurrently).
+
+        Cold compiles over the axon tunnel are the dominant warmup cost
+        (minutes per Newton/GHEP program at nx=192); running several
+        programs' `precompile` in parallel threads overlaps the remote
+        XLA compiles, which the serial execute-to-compile warmup cannot
+        (see `precompile_parallel`).  Skips when the jit path already
+        compiled this program."""
+        if "exe" not in box:
+            try:
+                if jfn._cache_size() > 0:  # already compiled via jit call
+                    box["exe"] = None
+                    return
+            except Exception:
+                pass
+            box["exe"] = jfn.lower(*example_args, *consts).compile()
+
+    call.precompile = precompile
     return call
+
+
+def precompile_parallel(builders, verbose: bool = False, label: str = ""):
+    """Build (trace) and AOT-compile independent programs concurrently.
+
+    ``builders``: zero-arg callables, each returning a `jit_lifted` program
+    (or anything / None — non-lifteds are just built).  Tracing runs in the
+    worker threads too (jax trace state is thread-local), so a slow trace
+    of one program does not serialize the others' compiles.
+
+    Failures are non-fatal: a program whose precompile dies (e.g. the
+    remote-compile transport dropping a request) simply compiles on its
+    first real call, exactly as without this pass."""
+    builders = [b for b in builders if b is not None]
+    if not builders:
+        return
+    if len(builders) == 1 or not config.parallel_precompile():
+        for b in builders:
+            try:
+                f = b()
+                if hasattr(f, "precompile"):
+                    f.precompile()
+            except Exception as e:  # degrade to compile-on-first-call
+                if verbose:
+                    print(f"precompile{label} failed (non-fatal): {e!r}")
+        return
+    import concurrent.futures as cf
+
+    def run(b):
+        f = b()
+        if hasattr(f, "precompile"):
+            f.precompile()
+
+    with cf.ThreadPoolExecutor(max_workers=len(builders)) as ex:
+        futs = [ex.submit(run, b) for b in builders]
+        for fut in futs:
+            try:
+                fut.result()
+            except Exception as e:  # degrade to compile-on-first-call
+                if verbose:
+                    print(f"precompile{label} failed (non-fatal): {e!r}")
 
 
 @dataclass
@@ -121,6 +193,7 @@ def sample_until_solved(
     reset_initial_guess: bool = False,
     prefetch_host: bool = False,
     coarse_warm_start=None,
+    precompile_only: bool = False,
 ) -> SampleBatch:
     """Draw n_samples prior samples with converged forward solves.
 
@@ -204,7 +277,9 @@ def sample_until_solved(
                     lifted = jit_lifted(
                         jax.vmap(lambda n_, z_: one(n_, z_)), noise_ex, z_ex
                     )
-                    cache[ck] = lambda noise, z, u0: lifted(noise, z)
+                    wrap = lambda noise, z, u0: lifted(noise, z)
+                    wrap.precompile = lifted.precompile
+                    cache[ck] = wrap
             else:
                 if with_u0:
                     lifted = jit_lifted(
@@ -212,16 +287,42 @@ def sample_until_solved(
                         noise_ex,
                         u0_ex,
                     )
-                    cache[ck] = lambda noise, z, u0: lifted(noise, u0)
+                    wrap = lambda noise, z, u0: lifted(noise, u0)
+                    wrap.precompile = lifted.precompile
+                    cache[ck] = wrap
                 else:
                     lifted = jit_lifted(
                         jax.vmap(lambda noise: one(noise, None)), noise_ex
                     )
-                    cache[ck] = lambda noise, z, u0: lifted(noise)
+                    wrap = lambda noise, z, u0: lifted(noise)
+                    wrap.precompile = lifted.precompile
+                    cache[ck] = wrap
         return cache[ck]
 
     def solve_chunk(noise, z, u0=None):
         return get_solve_chunk(noise.shape[0], u0 is not None)(noise, z, u0)
+
+    # Builders for every program this call will need (full chunks + tail),
+    # for threaded AOT pre-compilation.  Building draws NO noise, so the
+    # PRNG stream — and hence the samples — are bitwise identical with or
+    # without the precompile pass.  Skipped under a real collective: the
+    # AOT executables are specialized to single-device layouts.
+    single_device = collective is None or getattr(
+        collective, "size", lambda: 1
+    )() == 1
+    sizes = {min(chunk_size, n_samples)}
+    if n_samples > chunk_size and n_samples % chunk_size:
+        sizes.add(n_samples % chunk_size)
+    with_u0 = use_cws or warm_start
+    builders = []
+    for b in sorted(sizes, reverse=True):
+        if use_cws:
+            builders.append(lambda b=b: get_cws(b))
+        builders.append(lambda b=b: get_solve_chunk(b, with_u0))
+    if precompile_only:
+        return builders if single_device else []
+    if single_device and len(builders) > 1 and config.parallel_precompile():
+        precompile_parallel(builders, verbose=verbose, label="[forward]")
 
     # Stage 1: dispatch every chunk's batched solve without reading results —
     # async dispatch pipelines the host round trips (one sync per chunk costs
@@ -354,6 +455,7 @@ def sample_and_materialize_symmetric(
     max_tries: int = 10,
     refine_steps: int = 1,
     verbose: bool = False,
+    precompile_only: bool = False,
 ) -> tuple[SampleBatch, jax.Array]:
     """Fused forward + Jacobian sampling for LINEAR problems whose assembled
     operator is symmetric: A^T = A, possibly indefinite (the split-complex
@@ -413,6 +515,17 @@ def sample_and_materialize_symmetric(
             noise_ex = jax.ShapeDtypeStruct((b, prior.noise_dim), dtype)
             cache[ck] = jit_lifted(jax.vmap(one), noise_ex)
         return cache[ck]
+
+    # program builders (full chunk + tail) for threaded AOT pre-compilation;
+    # building draws no noise, so the sample stream is unchanged
+    sizes = {min(chunk_size, n_samples)}
+    if n_samples > chunk_size and n_samples % chunk_size:
+        sizes.add(n_samples % chunk_size)
+    builders = [lambda b=b: get_chunk_fn(b) for b in sorted(sizes, reverse=True)]
+    if precompile_only:
+        return builders
+    if len(builders) > 1 and config.parallel_precompile():
+        precompile_parallel(builders, verbose=verbose, label="[fused]")
 
     # dispatch all chunks, then one sync on the converged flags (same
     # two-stage structure and failure semantics as sample_until_solved)
@@ -477,8 +590,15 @@ def materialize_jacobians(
     zs=None,
     chunk_size: int | None = None,
     control: bool = False,
+    precompile_only: bool = False,
 ):
     """Dense Jacobians J_i = dq/dm at each sample: (n, dQ, dM).
+
+    ``precompile_only=True`` returns the list of program builders this call
+    would compile (full chunk + tail) instead of executing — ``ms``/``us``/
+    ``zs`` may then be `jax.ShapeDtypeStruct`s; used by
+    `ActiveSubspaceProjector.precompile_programs` to overlap this stage's
+    XLA compile with the forward and GHEP programs'.
 
     One batched linearization (factorize) + one blocked adjoint solve per
     chunk; the factorizations are freed as soon as the chunk's J is formed,
@@ -566,6 +686,14 @@ def materialize_jacobians(
                     donate_argnums=(0,),
                 )
         return cache[ck]
+
+    if precompile_only:
+        if n_single:
+            return [lambda: get_fn(n)]
+        sizes = {chunk_size}
+        if n % chunk_size:
+            sizes.add(n % chunk_size)
+        return [lambda b=b: get_fn(b) for b in sorted(sizes, reverse=True)]
 
     if n_single:
         return get_fn(n)(ms, us, zs)
