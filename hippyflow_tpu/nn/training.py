@@ -358,6 +358,51 @@ def _fit_incg(
     best_flat = None
     key = jax.random.PRNGKey(seed + 2)
     k_probe = min(hessian_low_rank + 5, flat.shape[0])
+
+    # Overlap the two expensive XLA compiles (preconditioner refresh and
+    # the CG+Armijo step program) in threads before the sweep loop — the
+    # serial first sweep otherwise pays their sum (see
+    # `sampling.precompile_parallel`; same cold-compile argument).
+    from .. import config as hf_config
+
+    if hf_config.parallel_precompile():
+        import concurrent.futures as cf
+
+        bs = min(batch_size, n_train)
+        hb_eff = min(hb, n_train)  # hb_idx = tr[order[:hb]] truncates
+        k = min(hessian_low_rank, k_probe)
+
+        def _ex(n_rows, like):
+            return jax.ShapeDtypeStruct((n_rows,) + like.shape[1:], like.dtype)
+
+        w_ex = jax.ShapeDtypeStruct(flat.shape, flat.dtype)
+        jb_ex = _ex(bs, J_data) if J_data is not None else None
+        specs = [
+            (
+                refresh_preconditioner,
+                (w_ex, _ex(hb_eff, m_data), _ex(hb_eff, q_data),
+                 jax.ShapeDtypeStruct((flat.shape[0], k_probe), flat.dtype)),
+            ),
+            (
+                incg_step,
+                (w_ex, _ex(bs, m_data), _ex(bs, q_data), jb_ex,
+                 jax.ShapeDtypeStruct((flat.shape[0], k), flat.dtype),
+                 jax.ShapeDtypeStruct((k,), flat.dtype)),
+            ),
+        ]
+        exes = {}
+        with cf.ThreadPoolExecutor(max_workers=len(specs)) as pool:
+            futs = {
+                pool.submit(lambda f=f, ex=ex: f.lower(*ex).compile()): i
+                for i, (f, ex) in enumerate(specs)
+            }
+            for fut, i in futs.items():
+                try:
+                    exes[i] = fut.result()
+                except Exception:
+                    pass  # non-fatal: compile on first call instead
+        refresh_preconditioner = exes.get(0, refresh_preconditioner)
+        incg_step = exes.get(1, incg_step)
     for epoch in range(epochs):
         t0 = time.time()
         order = rng.permutation(n_train)
