@@ -455,6 +455,12 @@ def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str,
             mfu = {
                 "forward_tflops": round(rep["tflops"] * iters, 3),
                 "forward_mfu": round(rep["mfu"] * iters, 5),
+                # the BINDING roofline axis for a direct banded solve:
+                # bytes through HBM (factors are streamed, flops are what
+                # the algorithm minimizes).  Same while-body-once scaling
+                # as the flop count.
+                "forward_hbm_gbs": round(rep["gbs"] * iters, 1),
+                "forward_hbm_util": round(rep["hbm_util"] * iters, 4),
                 "newton_iters_max": iters,
             }
             if getattr(problem, "_structured_solver_fwd", None) == "thomas_inv":

@@ -104,13 +104,32 @@ def device_peak_tflops(device=None) -> float:
     return 1.0  # CPU-ish fallback; keeps ratios meaningful, not absolute
 
 
-def flops_of(fn, *args) -> float:
-    """XLA's own FLOP count for a jitted callable at these args.
+# Peak HBM bandwidth per chip, GB/s (public spec sheets).  The right
+# roofline axis for this library: direct banded solves move their factors
+# through HBM and deliberately MINIMIZE flops, so MFU is structurally tiny
+# even at a bandwidth-saturated solve (SURVEY.md perf notes; PERF.md).
+_PEAK_HBM_GBS = {
+    "v5 lite": 819.0,
+    "v5e": 819.0,
+    "v5p": 2765.0,
+    "v4": 1228.0,
+    "v6": 1640.0,
+}
 
-    Uses the AOT path (`jax.jit(fn).lower(...).compile().cost_analysis()`),
-    i.e. the post-optimization HLO — the honest numerator for MFU.
-    Returns 0.0 when the backend reports no analysis.
-    """
+
+def device_peak_hbm_gbs(device=None) -> float:
+    """Best-effort peak HBM GB/s of the current device."""
+    import jax
+
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", "").lower()
+    for key, val in _PEAK_HBM_GBS.items():
+        if key in kind:
+            return val
+    return 50.0  # CPU-ish fallback; keeps ratios meaningful, not absolute
+
+
+def _cost_analysis(fn, *args) -> dict:
     import jax
 
     try:
@@ -118,15 +137,39 @@ def flops_of(fn, *args) -> float:
         cost = compiled.cost_analysis()
         if isinstance(cost, list):  # older jax returns [dict]
             cost = cost[0] if cost else {}
-        return float(cost.get("flops", 0.0))
+        return dict(cost or {})
     except Exception:
-        return 0.0
+        return {}
+
+
+def flops_of(fn, *args) -> float:
+    """XLA's own FLOP count for a jitted callable at these args.
+
+    Uses the AOT path (`jax.jit(fn).lower(...).compile().cost_analysis()`),
+    i.e. the post-optimization HLO — the honest numerator for MFU.
+    Returns 0.0 when the backend reports no analysis.
+    """
+    return float(_cost_analysis(fn, *args).get("flops", 0.0))
+
+
+def bytes_of(fn, *args) -> float:
+    """XLA's post-optimization 'bytes accessed' for a jitted callable —
+    the numerator for the HBM-bandwidth roofline.  Approximation caveats:
+    fused intermediates never touch HBM (over-count) and operands reused
+    across ops from caches are counted per use (over-count), while
+    while-loop bodies are counted ONCE (under-count — scale by the trip
+    count, as bench.py does for the Newton loop).  Returns 0.0 when the
+    backend reports no analysis."""
+    return float(_cost_analysis(fn, *args).get("bytes accessed", 0.0))
 
 
 def mfu_report(fn, *args, iters: int = 3, name: str = "fn") -> dict:
-    """Measure a jitted callable's achieved TFLOP/s and model-FLOP
-    utilization against the device peak.  Returns a dict (also printable):
-    {flops, seconds, tflops, mfu, device}."""
+    """Measure a jitted callable's achieved TFLOP/s and GB/s against the
+    device's compute AND memory-bandwidth peaks.  For this library's
+    banded direct solves the bandwidth axis (`hbm_util`) is the binding
+    roofline — the algorithms exist to minimize the flop axis.  Returns a
+    dict (also printable): {flops, bytes, seconds, tflops, mfu, gbs,
+    hbm_util, device}."""
     import time as _time
 
     import jax
@@ -139,14 +182,21 @@ def mfu_report(fn, *args, iters: int = 3, name: str = "fn") -> dict:
         out = jfn(*args)
         jax.block_until_ready(out)
     dt = (_time.time() - t0) / iters
-    fl = flops_of(fn, *args)
+    cost = _cost_analysis(fn, *args)
+    fl = float(cost.get("flops", 0.0))
+    by = float(cost.get("bytes accessed", 0.0))
     peak = device_peak_tflops()
+    peak_bw = device_peak_hbm_gbs()
     tflops = fl / dt / 1e12 if dt > 0 else 0.0
+    gbs = by / dt / 1e9 if dt > 0 else 0.0
     return {
         "name": name,
         "flops": fl,
+        "bytes": by,
         "seconds": dt,
         "tflops": tflops,
         "mfu": tflops / peak if peak else 0.0,
+        "gbs": gbs,
+        "hbm_util": gbs / peak_bw if peak_bw else 0.0,
         "device": str(jax.devices()[0]),
     }
