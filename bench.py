@@ -383,51 +383,86 @@ def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str,
     gc.collect()
 
     import numpy as np
+    import threading
 
-    proj = ActiveSubspaceProjector(obs, prior, parameters=params)
-    stages = {}
-    t_start = time.time()
-    # Stage 1: batched forward sampling (ends with a host sync on the
-    # converged flags inside sample_until_solved).
-    proj._ensure_samples()
-    jax.block_until_ready(proj.samples.us)
-    stages["forward_s"] = time.time() - t_start
-    # (m, q) transfers have been in flight since each sampling chunk
-    # converged (prefetch_host); nothing to kick off here.
-    # Stage 2+3: Jacobian materialization + randomized GHEP (async dispatch;
-    # drain each to attribute time honestly — they are data-dependent, so
-    # the barriers cost nothing).
-    t2 = time.time()
-    d, dec, enc = proj.construct_input_subspace(prior_preconditioned=True)
-    jax.block_until_ready(proj.Js)
-    stages["jacobian_s"] = time.time() - t2
-    t3 = time.time()
-    jax.block_until_ready(d)
-    stages["ghep_s"] = time.time() - t3
-    # Stage 4: dataset + decoder artifacts (writes only; the m/q transfers
-    # have been in flight since stage 1 ended).
-    t4 = time.time()
-    if save_data:
-        os.makedirs(BENCH_DIR, exist_ok=True)
-        chunks = proj.samples.host_chunks
-        if chunks:
-            # np.asarray on the per-chunk arrays reuses the transfers that
-            # started as each chunk converged
-            m_data = np.concatenate([np.asarray(c[0]) for c in chunks])
-            q_data = np.concatenate([np.asarray(c[1]) for c in chunks])
-        else:
-            m_data = np.asarray(proj.samples.ms)
-            q_data = np.asarray(proj.samples.qs)
-        np.savez(
-            os.path.join(BENCH_DIR, "confusion_mq_data.npz"),
-            m_data=m_data,
-            q_data=q_data,
-        )
-        np.save(os.path.join(BENCH_DIR, "AS_input_decoder.npy"), np.asarray(dec))
-    stages["save_s"] = time.time() - t4
-    elapsed = time.time() - t_start
-    stages = {k: round(v, 3) for k, v in stages.items()}
-    log(f"TPU pipeline nx={nx}: {elapsed:.2f}s  stages={stages}  "
+    def timed_pass():
+        proj = ActiveSubspaceProjector(obs, prior, parameters=params)
+        stages = {}
+        t_start = time.time()
+        # Stage 1: batched forward sampling (ends with a host sync on the
+        # converged flags inside sample_until_solved).
+        proj._ensure_samples()
+        jax.block_until_ready(proj.samples.us)
+        stages["forward_s"] = time.time() - t_start
+        # Overlap the (m, q) dataset npz write with the Jacobian/GHEP
+        # stages: the per-chunk device->host transfers have been in flight
+        # since each sampling chunk converged (prefetch_host); the
+        # concatenate + disk write runs on this thread while the device
+        # executes the Jacobian programs.
+        saver = None
+        if save_data:
+            os.makedirs(BENCH_DIR, exist_ok=True)
+
+            def write_npz():
+                chunks = proj.samples.host_chunks
+                if chunks:
+                    m_data = np.concatenate([np.asarray(c[0]) for c in chunks])
+                    q_data = np.concatenate([np.asarray(c[1]) for c in chunks])
+                else:
+                    m_data = np.asarray(proj.samples.ms)
+                    q_data = np.asarray(proj.samples.qs)
+                np.savez(
+                    os.path.join(BENCH_DIR, "confusion_mq_data.npz"),
+                    m_data=m_data,
+                    q_data=q_data,
+                )
+
+            saver = threading.Thread(target=write_npz)
+            saver.start()
+        # Stage 2+3: Jacobian materialization + randomized GHEP (async
+        # dispatch; drain each to attribute time honestly — they are
+        # data-dependent, so the barriers cost nothing).
+        t2 = time.time()
+        d, dec, enc = proj.construct_input_subspace(prior_preconditioned=True)
+        jax.block_until_ready(proj.Js)
+        stages["jacobian_s"] = time.time() - t2
+        t3 = time.time()
+        jax.block_until_ready(d)
+        stages["ghep_s"] = time.time() - t3
+        # Stage 4: remaining artifacts — the decoder readback (started
+        # async the moment the GHEP drained) + the saver thread join.
+        t4 = time.time()
+        if save_data:
+            try:
+                dec.copy_to_host_async()
+            except Exception:
+                pass
+            saver.join()
+            np.save(
+                os.path.join(BENCH_DIR, "AS_input_decoder.npy"),
+                np.asarray(dec),
+            )
+        stages["save_s"] = time.time() - t4
+        elapsed = time.time() - t_start
+        stages = {k: round(v, 3) for k, v in stages.items()}
+        return elapsed, stages, d
+
+    # >=3 warm repeats: single-shot timings over the tunnel carried ~20%
+    # run-to-run spread in round 4; the reported value is the MEDIAN and
+    # the spread (max - min) is published alongside (VERDICT r4 item 2).
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
+    runs = []
+    for i in range(repeats):
+        elapsed_i, stages_i, d = timed_pass()
+        log(f"timed pass {i + 1}/{repeats}: {elapsed_i:.2f}s  "
+            f"stages={stages_i}")
+        runs.append((elapsed_i, stages_i))
+        gc.collect()
+    runs_sorted = sorted(runs, key=lambda r: r[0])
+    elapsed, stages = runs_sorted[len(runs_sorted) // 2]
+    spread = runs_sorted[-1][0] - runs_sorted[0][0]
+    log(f"TPU pipeline nx={nx}: median {elapsed:.2f}s over {repeats} "
+        f"passes (spread {spread:.2f}s)  stages={stages}  "
         f"d[:5]={np.asarray(d[:5])}")
 
     mfu = {}
@@ -455,12 +490,17 @@ def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str,
             mfu = {
                 "forward_tflops": round(rep["tflops"] * iters, 3),
                 "forward_mfu": round(rep["mfu"] * iters, 5),
-                # the BINDING roofline axis for a direct banded solve:
+                # the BINDING roofline axis for a direct banded solve is
                 # bytes through HBM (factors are streamed, flops are what
-                # the algorithm minimizes).  Same while-body-once scaling
-                # as the flop count.
-                "forward_hbm_gbs": round(rep["gbs"] * iters, 1),
-                "forward_hbm_util": round(rep["hbm_util"] * iters, 4),
+                # the algorithm minimizes) — but XLA's "bytes accessed"
+                # over-counts fused/cached traffic (it measured 138% of the
+                # physical peak in round 4), so the XLA figure is published
+                # as a RATIO diagnostic, not a utilization.  Same
+                # while-body-once scaling as the flop count.
+                "forward_hbm_gbs_xla": round(rep["gbs"] * iters, 1),
+                "forward_xla_bytes_ratio": round(
+                    rep["xla_bytes_ratio"] * iters, 4
+                ),
                 "newton_iters_max": iters,
             }
             if getattr(problem, "_structured_solver_fwd", None) == "thomas_inv":
@@ -470,22 +510,38 @@ def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str,
                 # keep the XLA figure for reference.  Note the Thomas MFU
                 # is LOWER than cyclic reduction's even though wall time
                 # halved: the algorithm needs ~2.3x fewer flops per solve.
-                from hippyflow_tpu.ops.structured import thomas_inv_flops
+                from hippyflow_tpu.ops.structured import (
+                    thomas_inv_bytes,
+                    thomas_inv_flops,
+                )
 
                 s = problem._block_size
                 nb = problem.state_dim // s
                 fl = thomas_inv_flops(nb, s, 1) * B * iters
-                from hippyflow_tpu.utils.profiling import device_peak_tflops
+                from hippyflow_tpu.utils.profiling import (
+                    device_peak_hbm_gbs,
+                    device_peak_tflops,
+                )
 
                 tf = fl / rep["seconds"] / 1e12
                 mfu["forward_tflops_xla"] = mfu.pop("forward_tflops")
                 mfu["forward_mfu_xla"] = mfu.pop("forward_mfu")
                 mfu["forward_tflops"] = round(tf, 3)
                 mfu["forward_mfu"] = round(tf / device_peak_tflops(), 5)
+                # model-based bandwidth utilization (PERF.md section 4's
+                # traffic model, `thomas_inv_bytes`): a true fraction of
+                # the physical peak, <= 1 by construction of the numerator
+                # (lower-bound dataflow traffic).
+                by = thomas_inv_bytes(nb, s, 1) * B * iters
+                model_gbs = by / rep["seconds"] / 1e9
+                mfu["forward_hbm_gbs_model"] = round(model_gbs, 1)
+                mfu["forward_hbm_util_model"] = round(
+                    model_gbs / device_peak_hbm_gbs(), 4
+                )
             log(f"forward-solve utilization: {mfu}")
         except Exception as e:
             log(f"mfu probe failed: {e}")
-    return elapsed, first_run, np.asarray(d), mfu, stages
+    return elapsed, first_run, np.asarray(d), mfu, stages, spread
 
 
 def run_helmholtz_lane():
@@ -565,32 +621,46 @@ def run_helmholtz_lane():
 
     gc.collect()
 
-    proj = make()
-    stages = {}
-    t_start = time.time()
-    # the symmetric split-complex operator takes the FUSED pass inside
-    # construct_input_subspace (sample_and_materialize_symmetric: one
-    # adjoint factorization per sample serves the forward solve and the
-    # 200-rhs Jacobian solve), so forward+jacobian are one stage here
-    d, dec, enc = proj.construct_input_subspace(prior_preconditioned=True)
-    jax.block_until_ready(proj.Js)
-    jax.block_until_ready(proj.samples.us)
-    stages["fused_fwd_jac_s"] = time.time() - t_start
-    t3 = time.time()
-    jax.block_until_ready(d)
-    stages["ghep_s"] = time.time() - t3
-    elapsed = time.time() - t_start
-    stages = {k: round(v, 3) for k, v in stages.items()}
+    def timed_pass():
+        proj = make()
+        stages = {}
+        t_start = time.time()
+        # the symmetric split-complex operator takes the FUSED pass inside
+        # construct_input_subspace (sample_and_materialize_symmetric: one
+        # adjoint factorization per sample serves the forward solve and the
+        # 200-rhs Jacobian solve), so forward+jacobian are one stage here
+        d, dec, enc = proj.construct_input_subspace(prior_preconditioned=True)
+        jax.block_until_ready(proj.Js)
+        jax.block_until_ready(proj.samples.us)
+        stages["fused_fwd_jac_s"] = time.time() - t_start
+        t3 = time.time()
+        jax.block_until_ready(d)
+        stages["ghep_s"] = time.time() - t3
+        elapsed = time.time() - t_start
+        stages = {k: round(v, 3) for k, v in stages.items()}
+        return elapsed, stages, d
+
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
+    runs = []
+    for i in range(repeats):
+        elapsed_i, stages_i, d = timed_pass()
+        log(f"helmholtz pass {i + 1}/{repeats}: {elapsed_i:.2f}s "
+            f"stages={stages_i}")
+        runs.append((elapsed_i, stages_i))
+        gc.collect()
+    runs_sorted = sorted(runs, key=lambda r: r[0])
+    elapsed, stages = runs_sorted[len(runs_sorted) // 2]
+    spread = runs_sorted[-1][0] - runs_sorted[0][0]
     log(
-        f"helmholtz nx={nx}: {elapsed:.2f}s stages={stages} "
-        f"d[:4]={np.asarray(d[:4])}"
+        f"helmholtz nx={nx}: median {elapsed:.2f}s over {repeats} passes "
+        f"(spread {spread:.2f}s) stages={stages} d[:4]={np.asarray(d[:4])}"
     )
     assert np.isfinite(np.asarray(d)).all(), "helmholtz spectrum not finite"
     if _prec_prev is not None:
         from hippyflow_tpu import config as hf_config
 
         hf_config.set_solver_precision(*_prec_prev)
-    return elapsed, first_run, stages
+    return elapsed, first_run, stages, spread
 
 
 def run_training_lane():
@@ -1404,7 +1474,7 @@ def main():
         parity = {"rel_eig_err": None, "error": str(e)}
 
     vel = get_ns_velocity(NX)
-    elapsed, first_run, d, mfu, stages = retry_transient(
+    elapsed, first_run, d, mfu, stages, spread = retry_transient(
         lambda: run_tpu_pipeline(NX, N_SAMPLES, RANK, args.dtype, velocity=vel),
         "headline lane",
     )
@@ -1423,6 +1493,8 @@ def main():
         "parity_n_head": parity.get("n_head"),
         "parity_window": "head = eigenvalues above 1e-4*lambda_0",
         "first_run_s": round(first_run, 2),
+        "time_spread_s": round(spread, 3),
+        "time_repeats": max(1, int(os.environ.get("BENCH_REPEATS", "3"))),
         "velocity": "navier_stokes",
         "baseline_8rank_s": round(baseline["seconds_8rank"], 1),
         "baseline_linearity": baseline.get("linearity"),
@@ -1431,7 +1503,7 @@ def main():
     }
     if NX192:
         try:
-            t192, first192, _, _, stages192 = retry_transient(
+            t192, first192, _, _, stages192, spread192 = retry_transient(
                 lambda: run_tpu_pipeline(
                     NX192_NX, NX192_SAMPLES, NX192_RANK, args.dtype,
                     save_data=False,
@@ -1451,6 +1523,7 @@ def main():
                 "nx192 lane",
             )
             extra["nx192_time_s"] = round(t192, 2)
+            extra["nx192_time_spread_s"] = round(spread192, 3)
             extra["nx192_first_run_s"] = round(first192, 2)
             extra["nx192_config"] = (
                 f"r{NX192_RANK}_{NX192_SAMPLES}samples_{NX192_NX}x{NX192_NX}"
@@ -1478,10 +1551,11 @@ def main():
         gc.collect()
     if os.environ.get("BENCH_HELMHOLTZ", "1") == "1":
         try:
-            t_h, first_h, stages_h = retry_transient(
+            t_h, first_h, stages_h, spread_h = retry_transient(
                 run_helmholtz_lane, "helmholtz lane"
             )
             extra["helmholtz_time_s"] = round(t_h, 2)
+            extra["helmholtz_time_spread_s"] = round(spread_h, 3)
             extra["helmholtz_first_run_s"] = round(first_h, 2)
             extra["helmholtz_config"] = (
                 f"600Hz_r{int(os.environ.get('BENCH_HELM_RANK', 128))}_"

@@ -38,7 +38,12 @@ def enable_x64() -> None:
 #
 # Policy is trace-time global state (read inside the factorize/solve
 # functions), defaulting to exact ('highest', 0 sweeps) so CPU tests and
-# f64 parity runs are unaffected.  Bench lanes opt in per-run.
+# f64 parity runs are unaffected.  Bench lanes opt in per-run.  The
+# library's program caches (`models.sampling._jit_cache`) key every entry
+# on the CURRENT (precision, refine_steps) pair, so changing the policy
+# after programs have been traced re-traces rather than silently reusing
+# stale-precision executables.  Raw `jax.jit` users must still set the
+# policy before tracing.
 _solver_precision: str | None = None  # None = inherit the session default
 _solver_refine_steps: int = 0
 

@@ -44,6 +44,7 @@ from .jacobian import ObservableJacobian, jtj_matmat, jjt_matmat
 from .sampling import (
     SampleBatch,
     _jit_cache,
+    _obj_token,
     jit_lifted,
     linearize_batch,
     materialize_jacobians,
@@ -192,10 +193,18 @@ class ActiveSubspaceProjector:
     def _fused_symmetric_eligible(self) -> bool:
         """True when sampling takes the fused forward+Jacobian pass
         (`sampling.sample_and_materialize_symmetric`): linear symmetric
-        operator, materializable observable, plain prior sampling."""
+        operator with no Dirichlet rows (bc masking breaks A^T = A),
+        materializable observable, plain prior sampling, single-rank
+        collective (the fused path has no shard_samples plumbing)."""
+        import numpy as _np
+
         problem = self.observable.problem
+        bc = getattr(problem, "bc", None)
+        has_dirichlet = bc is not None and bool(_np.asarray(bc.mask).any())
         return (
-            getattr(self.observable.B, "materializable", True)
+            self.collective.size() == 1
+            and not has_dirichlet
+            and getattr(self.observable.B, "materializable", True)
             and not self.parameters["serialized_sampling"]
             and not self.parameters["ms_given"]
             and self.control_distribution is None
@@ -383,7 +392,8 @@ class ActiveSubspaceProjector:
         Jacobians exist."""
         cache = _jit_cache(self.observable)
         r = self.parameters["rank"]
-        ck = ("ghep_in", id(self.prior), r, tuple(Js_shape), tuple(Om_shape))
+        ck = ("ghep_in", _obj_token(self.prior), r, tuple(Js_shape),
+              tuple(Om_shape))
         if ck not in cache:
             prior = self.prior
 

@@ -51,6 +51,26 @@ class BlockVector:
     def inner(self, other: "BlockVector"):
         return sum(jnp.vdot(d, o) for d, o in zip(self.data, other.data))
 
+    def export(self, mesh, directory: str, name: str = "x") -> list[str]:
+        """Write every sub-vector as a ParaView-readable legacy-VTK file
+        ``<directory>/<name>_<k>.vtk`` (reference `blockVector.py:93-96`
+        streams each snapshot into one dolfin .pvd collection; the file-
+        per-snapshot series here opens identically in ParaView as a group).
+        Returns the list of paths written."""
+        import os
+
+        from ..utils.mesh_utils import export_vtk
+
+        os.makedirs(directory, exist_ok=True)
+        return [
+            export_vtk(
+                os.path.join(directory, f"{name}_{k:04d}"),
+                mesh,
+                {name: d},
+            )
+            for k, d in enumerate(self.data)
+        ]
+
 
 class MultiPDEProblem:
     """k PDE problems sharing one parameter m (`multiPDEProblem.py:21-141`)."""

@@ -271,6 +271,35 @@ class PODProjector:
         np.save(os.path.join(save_dir, "u_at_mean"), np.asarray(u_at_mean))
         np.save(os.path.join(save_dir, "m_sample"), np.asarray(m_sample))
         np.save(os.path.join(save_dir, "u_at_sample"), np.asarray(u_at_sample))
+        # ParaView-readable companions (reference writes dolfin .pvd;
+        # legacy .vtk opens identically — utils/mesh_utils.export_vtk)
+        try:
+            from ..utils.mesh_utils import export_vtk
+
+            problem = self.observable.problem
+            mesh_m = getattr(getattr(problem, "Vm", None), "mesh", None)
+            mesh_u = getattr(getattr(problem, "Vu", None), "mesh", None)
+            if mesh_m is not None:
+                export_vtk(
+                    os.path.join(save_dir, "m_mean"), mesh_m,
+                    {"m": np.asarray(m_mean)},
+                )
+                export_vtk(
+                    os.path.join(save_dir, "m_sample"), mesh_m,
+                    {"m": np.asarray(m_sample)},
+                )
+            if mesh_u is not None:
+                export_vtk(
+                    os.path.join(save_dir, "u_at_mean"), mesh_u,
+                    {"u": np.asarray(u_at_mean)},
+                )
+                export_vtk(
+                    os.path.join(save_dir, "u_at_sample"), mesh_u,
+                    {"u": np.asarray(u_at_sample)},
+                )
+        except (AssertionError, AttributeError) as e:
+            if self.parameters["verbose"]:
+                print(f"two_state_solution: vtk export skipped ({e})")
         return (m_mean, u_at_mean), (m_sample, u_at_sample)
 
     def input_output_error_test(self, V, Cinv_matmat=None, rank_pairs=((8, 8),)):

@@ -63,10 +63,64 @@ def auto_chunk_size(
     return 1 << (n.bit_length() - 1)
 
 
+class _PolicyKeyedCache:
+    """Dict view whose keys are extended with the global solver-precision
+    policy (`config.set_solver_precision`).  The policy is trace-time state
+    read inside factorize/solve, so a program traced under one policy must
+    never be served under another — a bare key would silently reuse
+    stale-precision executables after the policy changes (e.g. a per-lane
+    bench knob restored on exit)."""
+
+    __slots__ = ("_d",)
+
+    def __init__(self, d):
+        self._d = d
+
+    def _k(self, key):
+        return (key, config.solver_precision(), config.solver_refine_steps())
+
+    def __contains__(self, key):
+        return self._k(key) in self._d
+
+    def __getitem__(self, key):
+        return self._d[self._k(key)]
+
+    def __setitem__(self, key, value):
+        self._d[self._k(key)] = value
+
+
+_obj_token_counter = 0
+
+
+def _obj_token(obj) -> int:
+    """Monotonic identity token for cache keys.  `id()` of a live object can
+    be reused after it is garbage-collected, so an id-keyed program cache
+    could return an executable built for a DEAD prior/warm-start map whose
+    address a new object happens to reuse.  The token is assigned once and
+    travels with the object."""
+    global _obj_token_counter
+    tok = getattr(obj, "_hf_cache_token", None)
+    if tok is None:
+        _obj_token_counter += 1
+        tok = _obj_token_counter
+        try:
+            obj._hf_cache_token = tok
+        except (AttributeError, TypeError):
+            # unsettable object (slots/builtin): fall back to id() and pin
+            # the object alive via a module-level registry so the id cannot
+            # be recycled.
+            _obj_token_pins.append(obj)
+            tok = id(obj)
+    return tok
+
+
+_obj_token_pins: list = []
+
+
 def _jit_cache(obj):
     if not hasattr(obj, "_hf_jit_cache"):
         obj._hf_jit_cache = {}
-    return obj._hf_jit_cache
+    return _PolicyKeyedCache(obj._hf_jit_cache)
 
 
 def jit_lifted(fn, *example_args, donate_argnums=()):
@@ -89,11 +143,20 @@ def jit_lifted(fn, *example_args, donate_argnums=()):
         if exe is not None:
             try:
                 return exe(*args, *consts)
-            except Exception:
+            except Exception as e:
                 # AOT executables are strict about shardings/devices; a
                 # mismatched call (e.g. sharded arrays into a program
                 # precompiled for one device) degrades to the jit path,
-                # which specializes per input layout like any jit.
+                # which specializes per input layout like any jit.  The
+                # fallback is LOGGED, never silent: a genuine runtime
+                # failure (RESOURCE_EXHAUSTED, a wedged tunnel device)
+                # would otherwise be masked by minutes of hidden
+                # recompilation before resurfacing.
+                print(
+                    "jit_lifted: AOT executable call failed "
+                    f"({type(e).__name__}: {str(e)[:200]}); "
+                    "falling back to the jit path (recompiles)."
+                )
                 box["exe"] = None
         return jfn(*args, *consts)
 
@@ -250,7 +313,7 @@ def sample_until_solved(
     cache = _jit_cache(observable)
 
     def get_cws(b: int):
-        ck = ("cws", id(coarse_warm_start), b, str(dtype))
+        ck = ("cws", _obj_token(coarse_warm_start), b, str(dtype))
         if ck not in cache:
             noise_ex = jax.ShapeDtypeStruct((b, prior.noise_dim), dtype)
             cache[ck] = jit_lifted(coarse_warm_start, noise_ex)
@@ -263,7 +326,8 @@ def sample_until_solved(
         return m, u, q, info.converged
 
     def get_solve_chunk(b: int, with_u0: bool):
-        ck = ("sample_solve", with_control, with_u0, id(prior), b, str(dtype))
+        ck = ("sample_solve", with_control, with_u0, _obj_token(prior), b,
+              str(dtype))
         if ck not in cache:
             noise_ex = jax.ShapeDtypeStruct((b, prior.noise_dim), dtype)
             u0_ex = jax.ShapeDtypeStruct((b, problem.state_dim), dtype)
@@ -510,7 +574,7 @@ def sample_and_materialize_symmetric(
         return m, u, q, Jm, ok
 
     def get_chunk_fn(b: int):
-        ck = ("fused_sym", id(prior), b, str(dtype))
+        ck = ("fused_sym", _obj_token(prior), b, str(dtype))
         if ck not in cache:
             noise_ex = jax.ShapeDtypeStruct((b, prior.noise_dim), dtype)
             cache[ck] = jit_lifted(jax.vmap(one), noise_ex)

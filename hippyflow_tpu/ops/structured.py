@@ -575,6 +575,26 @@ def thomas_inv_flops(nb: int, s: int, n_rhs: int = 1) -> float:
     return float(nb) * (7.0 * s**3 + 6.0 * s**2 * n_rhs)
 
 
+def thomas_inv_bytes(
+    nb: int, s: int, n_rhs: int = 1, itemsize: int = 4
+) -> float:
+    """Analytic HBM-traffic model (bytes per sample) of one assembly +
+    `factorize_thomas_inv_banded` + `InverseThomasFactor.solve` pass —
+    the honest numerator for a bandwidth utilization (XLA's "bytes
+    accessed" over-counts fused/cached traffic and can exceed the physical
+    peak; see `utils.profiling.bytes_of`).
+
+    Model (each block row holds three s x s blocks = 3 s^2 elements):
+    assembly writes the band once; factorization reads the band and
+    writes the same-footprint inverse-diagonal factor; the solve streams
+    the factor once and the rhs block vector three times (read b, carry,
+    write x).  Lower bound: assumes every buffer moves through HBM exactly
+    as often as the dataflow requires, no re-fetches."""
+    band = 3.0 * nb * s * s * itemsize
+    rhs = nb * s * n_rhs * itemsize
+    return 4.0 * band + 3.0 * rhs
+
+
 def block_tridiag_matmat(band, X):
     """A @ X for band storage (nb, s, 3s); X: (n,) or (n, k).
 

@@ -166,10 +166,16 @@ def bytes_of(fn, *args) -> float:
 def mfu_report(fn, *args, iters: int = 3, name: str = "fn") -> dict:
     """Measure a jitted callable's achieved TFLOP/s and GB/s against the
     device's compute AND memory-bandwidth peaks.  For this library's
-    banded direct solves the bandwidth axis (`hbm_util`) is the binding
-    roofline — the algorithms exist to minimize the flop axis.  Returns a
-    dict (also printable): {flops, bytes, seconds, tflops, mfu, gbs,
-    hbm_util, device}."""
+    banded direct solves the bandwidth axis is the binding roofline — the
+    algorithms exist to minimize the flop axis.  The bytes numerator is
+    XLA's "bytes accessed", which is NOT physical HBM traffic (fused
+    intermediates and cache-resident reuse are over-counted, while-loop
+    bodies counted once — see `bytes_of`), so the bandwidth ratio is
+    published as `xla_bytes_ratio`, a diagnostic that can exceed 1.0, not
+    a utilization.  For a true utilization use an analytic traffic model
+    (e.g. `ops.structured.thomas_inv_bytes`).  Returns a dict (also
+    printable): {flops, bytes, seconds, tflops, mfu, gbs,
+    xla_bytes_ratio, device}."""
     import time as _time
 
     import jax
@@ -197,6 +203,6 @@ def mfu_report(fn, *args, iters: int = 3, name: str = "fn") -> dict:
         "tflops": tflops,
         "mfu": tflops / peak if peak else 0.0,
         "gbs": gbs,
-        "hbm_util": gbs / peak_bw if peak_bw else 0.0,
+        "xla_bytes_ratio": gbs / peak_bw if peak_bw else 0.0,
         "device": str(jax.devices()[0]),
     }

@@ -94,3 +94,24 @@ def test_block_vector():
     assert float(bv.inner(bv2)) == pytest.approx(2 * 3 * 2 + 2.5 * 2)
     bv.zero()
     assert float(bv.inner(bv)) == 0.0
+
+
+def test_block_vector_export_vtk(tmp_path):
+    """BlockVector.export writes ParaView-readable legacy VTK files
+    (reference blockVector.py:93-96 streams each snapshot into a .pvd)."""
+    from hippyflow_tpu.fem.mesh import unit_square_mesh
+
+    mesh = unit_square_mesh(3)
+    nv = mesh.num_vertices
+    bv = BlockVector([jnp.arange(nv, dtype=jnp.float64),
+                      jnp.ones(nv, dtype=jnp.float64)])
+    paths = bv.export(mesh, str(tmp_path / "snaps"), name="u")
+    assert len(paths) == 2
+    for k, p in enumerate(paths):
+        text = open(p).read()
+        assert text.startswith("# vtk DataFile Version 3.0")
+        assert f"POINTS {nv} double" in text
+        assert "CELL_TYPES" in text and "SCALARS u double 1" in text
+    # field values round-trip: last nv lines of file 0 are 0..nv-1
+    vals = [float(v) for v in open(paths[0]).read().splitlines()[-nv:]]
+    np.testing.assert_allclose(vals, np.arange(nv))
