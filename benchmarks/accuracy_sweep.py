@@ -49,6 +49,11 @@ IN_RANK, OUT_RANK = 8, 16
 DATA_SIZES = (32, 64, 128, 256, 512, 1024, 1536)
 SEEDS = (0, 1, 2)
 SWEEPS = int(os.environ.get("SWEEP_EPOCHS", 40))
+# H1 configuration (round-5): normalized per-sample relative Frobenius
+# misfit; weight selected by `--stage pilot` (h1_weight in {0.1, 1, 10}).
+H1_WEIGHT = float(os.environ.get("H1_WEIGHT", 1.0))
+H1_NORMALIZED = bool(int(os.environ.get("H1_NORMALIZED", 1)))
+PILOT_PATH = os.path.join(OUT_DIR, "pilot.json")
 
 
 def _jax_setup():
@@ -131,15 +136,8 @@ def stage_data():
     print(f"saved {DATA_PATH} ({os.path.getsize(DATA_PATH) / 1e9:.2f} GB)")
 
 
-def stage_sweep():
-    jax = _jax_setup()
-
+def _load_sweep_inputs():
     from applications.confusion_training import modify_projectors
-    from hippyflow_tpu.nn import (
-        projected_dense,
-        projected_low_rank_residual_network,
-        train,
-    )
 
     data = np.load(DATA_PATH)
     m_all = data["m_data"]
@@ -152,6 +150,28 @@ def stage_sweep():
             "POD": data["POD_decoder"][:, :OUT_RANK],
         }
     )
+    # H1 target consistency (round-5 fix): the stored sketches are
+    # JstarPhi = J^T Phi_sketch with Phi_sketch the ORTHONORMAL POD basis
+    # from stage_data.  The loss encoder must be that same matrix — passing
+    # the network's modify_projectors output layer (Phi/||Phi||_F = Phi/4
+    # at rQ=16, plus possible QR sign flips) scaled/flipped the derivative
+    # targets, which is why the r4 committed sweep showed H1 <= l2
+    # (`VERDICT.md` round-4 item 1).  See make_h1_loss's contract note.
+    sketch_phi = data["POD_decoder"][:, :OUT_RANK]
+    return m_all, q_all, J_all, q_shift, proj_in, proj_out, sketch_phi
+
+
+def stage_sweep():
+    jax = _jax_setup()
+
+    from hippyflow_tpu.nn import (
+        projected_dense,
+        projected_low_rank_residual_network,
+        train,
+    )
+
+    (m_all, q_all, J_all, q_shift, proj_in, proj_out,
+     sketch_phi) = _load_sweep_inputs()
     n_pool = N_TOTAL - N_VAL
     m_val, q_val = m_all[n_pool:], q_all[n_pool:]
 
@@ -188,8 +208,9 @@ def stage_sweep():
                         kwargs.update(
                             JstarPhi_data=J_all[:n],
                             input_decoder=proj_in,
-                            output_encoder=proj_out,
-                            h1_weight=1.0,
+                            output_encoder=sketch_phi,
+                            h1_weight=H1_WEIGHT,
+                            h1_normalized=H1_NORMALIZED,
                         )
                     _, logger = train(make_model(arch), m_all[:n], q_all[:n], **kwargs)
                     master[key] = {
@@ -211,6 +232,84 @@ def stage_sweep():
     summarize(master)
 
 
+def stage_pilot():
+    """h1_weight selection grid (VERDICT r4 item 1): dipnet at
+    n in {32, 128}, h1_weight in {0.1, 1, 10} x {normalized, absolute} +
+    the l2 baseline, 2 seeds each.  Prints a table and writes pilot.json;
+    pick the winner via the H1_WEIGHT / H1_NORMALIZED env for the full
+    sweep."""
+    jax = _jax_setup()
+
+    from hippyflow_tpu.nn import projected_dense, train
+
+    (m_all, q_all, J_all, q_shift, proj_in, proj_out,
+     sketch_phi) = _load_sweep_inputs()
+    n_pool = N_TOTAL - N_VAL
+    m_val, q_val = m_all[n_pool:], q_all[n_pool:]
+
+    pilot = {}
+    if os.path.exists(PILOT_PATH):
+        with open(PILOT_PATH) as f:
+            pilot = json.load(f)
+
+    grid = [("l2", 0.0, False)] + [
+        ("h1", w, norm) for w in (0.1, 1.0, 10.0) for norm in (True, False)
+    ]
+    for n in (32, 128):
+        for loss, w, norm in grid:
+            for seed in (0, 1):
+                key = repr((loss, w, norm, n, seed))
+                if key in pilot:
+                    continue
+                t0 = time.time()
+                kwargs = dict(
+                    batch_size=min(128, n),
+                    epochs=SWEEPS,
+                    optimizer="incg",
+                    hess_batch_size=16,
+                    hessian_low_rank=20,
+                    validation_data=(m_val, q_val),
+                    seed=seed,
+                )
+                if loss == "h1":
+                    kwargs.update(
+                        JstarPhi_data=J_all[:n],
+                        input_decoder=proj_in,
+                        output_encoder=sketch_phi,
+                        h1_weight=w,
+                        h1_normalized=norm,
+                    )
+                model = projected_dense(proj_in, proj_out, output_shift=q_shift)
+                _, logger = train(model, m_all[:n], q_all[:n], **kwargs)
+                pilot[key] = {
+                    "max_val_acc": logger.get(
+                        "max_val_acc", max(logger["val_acc"])
+                    ),
+                    "seconds": time.time() - t0,
+                }
+                print(
+                    f"pilot {loss} w={w} norm={norm} n={n} seed={seed}: "
+                    f"max val acc {pilot[key]['max_val_acc']:.4f} "
+                    f"({pilot[key]['seconds']:.1f}s)",
+                    flush=True,
+                )
+                with open(PILOT_PATH, "w") as f:
+                    json.dump(pilot, f, indent=1)
+    # table
+    print(f"\n{'config':<28} {'n=32':>8} {'n=128':>8}")
+    for loss, w, norm in grid:
+        row = f"{loss} w={w} norm={norm}"
+        vals = []
+        for n in (32, 128):
+            accs = [
+                pilot[repr((loss, w, norm, n, s))]["max_val_acc"]
+                for s in (0, 1)
+                if repr((loss, w, norm, n, s)) in pilot
+            ]
+            vals.append(f"{np.mean(accs):.4f}" if accs else "-")
+        print(f"{row:<28} {vals[0]:>8} {vals[1]:>8}")
+
+
 def summarize(master=None):
     if master is None:
         with open(MASTER_PATH, "rb") as f:
@@ -223,6 +322,10 @@ def summarize(master=None):
             "sweeps": SWEEPS,
             "seeds": len(SEEDS),
             "optimizer": "incg_b128_hb16_lr20",
+            "h1_weight": H1_WEIGHT,
+            "h1_normalized": H1_NORMALIZED,
+            "h1_encoder": "sketch_phi (orthonormal POD basis of the stored "
+                          "JstarPhi sketches; round-5 consistency fix)",
         },
         "curves": {},
     }
@@ -264,10 +367,14 @@ def summarize(master=None):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--stage", choices=["data", "sweep", "summary"], required=True)
+    ap.add_argument(
+        "--stage", choices=["data", "pilot", "sweep", "summary"], required=True
+    )
     args = ap.parse_args()
     if args.stage == "data":
         stage_data()
+    elif args.stage == "pilot":
+        stage_pilot()
     elif args.stage == "sweep":
         stage_sweep()
     else:

@@ -102,6 +102,36 @@ def parallel_precompile() -> bool:
     return _parallel_precompile
 
 
+# ---------------------------------------------------------------------------
+# Fused Pallas banded back-solve (VERDICT r4 item 4)
+# ---------------------------------------------------------------------------
+# Routes `InverseThomasFactor.solve` through the fused Pallas sweep kernels
+# (`ops/pallas_kernels.banded_solve_batch`) instead of the 2*nb-step XLA
+# scan.  'auto' (default) enables it on the TPU backend for multi-rhs solves
+# (k >= 8: the Jacobian/adjoint stages), where the scan is latency-bound;
+# 'on' forces it for every batched solve on TPU; 'off' disables.  CPU
+# backends always use the scan (the kernels run there only in interpret
+# mode, via tests).  Trace-time state: program caches key on it.
+_pallas_band_solve: str = "auto"
+
+
+def set_pallas_band_solve(mode: str) -> str:
+    assert mode in ("auto", "on", "off")
+    global _pallas_band_solve
+    prev = _pallas_band_solve
+    _pallas_band_solve = mode
+    return prev
+
+
+def pallas_band_solve() -> str:
+    import os
+
+    env = os.environ.get("HF_PALLAS_BAND_SOLVE", "")
+    if env in ("auto", "on", "off"):
+        return env
+    return _pallas_band_solve
+
+
 def default_dtype():
     """Library default floating dtype: f64 when x64 is enabled, else f32."""
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

@@ -77,7 +77,8 @@ class _PolicyKeyedCache:
         self._d = d
 
     def _k(self, key):
-        return (key, config.solver_precision(), config.solver_refine_steps())
+        return (key, config.solver_precision(), config.solver_refine_steps(),
+                config.pallas_band_solve())
 
     def __contains__(self, key):
         return self._k(key) in self._d

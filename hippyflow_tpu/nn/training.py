@@ -36,9 +36,25 @@ def l2_loss(apply_fn, params, m, q):
     return jnp.mean(jnp.sum((pred - q) ** 2, axis=-1))
 
 
-def make_h1_loss(apply_fn, input_decoder, output_encoder):
+def make_h1_loss(apply_fn, input_decoder, output_encoder, normalized=False):
     """Returns h1(params, m, JstarPhi) matching the stored sketch layout
-    (n, dM, rQ) from `dataGenerator.py:170`."""
+    (n, dM, rQ) from `dataGenerator.py:170`.
+
+    CONSISTENCY CONTRACT: ``output_encoder`` must be the SAME matrix Phi
+    that formed the stored sketches ``JstarPhi = J^T Phi`` (the decoder
+    embedded in ``JstarPhi_data.npz``).  Passing a rescaled or
+    re-orthogonalized variant (e.g. the network's ``modify_projectors``
+    output layer, which is Phi/||Phi||_F with possible QR sign flips)
+    silently corrupts the derivative targets: the loss then drives the
+    network Jacobian toward a scaled/sign-flipped copy of the true one —
+    worse than no derivative data at all.  The network's own projector
+    scaling is irrelevant here; only target/encoder agreement matters.
+
+    ``normalized=True`` uses the per-sample RELATIVE Frobenius misfit
+    ``||J_net - J||_F^2 / ||J||_F^2`` (the dimensionless H1 form of the
+    derivative-informed-surrogate papers; reference README.md:131-151),
+    making ``h1_weight`` a unitless mix ratio against the l2 term rather
+    than an absolute scale that depends on the Jacobian magnitude."""
     P = jnp.asarray(input_decoder)  # (dM, rIn)
     Phi = jnp.asarray(output_encoder)  # (dQ, rQ)
 
@@ -58,7 +74,10 @@ def make_h1_loss(apply_fn, input_decoder, output_encoder):
         def per_sample(m, JstarPhi):
             target = (JstarPhi.T @ P).astype(m.dtype)  # (rQ, rIn) = Phi^T J P
             jac = reduced_net_jacobian(params, m)
-            return jnp.sum((jac - target) ** 2)
+            mis = jnp.sum((jac - target) ** 2)
+            if normalized:
+                mis = mis / jnp.maximum(jnp.sum(target**2), 1e-20)
+            return mis
 
         return jnp.mean(jax.vmap(per_sample)(m_batch, JstarPhi_batch))
 
@@ -100,6 +119,7 @@ def train(
     input_decoder=None,
     output_encoder=None,
     h1_weight: float = 1.0,
+    h1_normalized: bool = False,
     l2_weight: float = 1.0,
     batch_size: int = 128,
     epochs: int = 100,
@@ -169,7 +189,9 @@ def train(
     h1 = None
     if JstarPhi_data is not None:
         assert input_decoder is not None and output_encoder is not None
-        h1 = make_h1_loss(apply_fn, input_decoder, output_encoder)
+        h1 = make_h1_loss(
+            apply_fn, input_decoder, output_encoder, normalized=h1_normalized
+        )
         JstarPhi_data = jnp.asarray(JstarPhi_data)
 
     def total_loss(p, mb, qb, jb):

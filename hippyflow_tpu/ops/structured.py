@@ -480,58 +480,109 @@ class InverseThomasFactor(NamedTuple):
             b = b[:, None]
         nb, s = self.nb, self.s
         bb = b.reshape(nb, s, -1)
-
-        if not trans:
-            # forward: y_j = b_j - M_j y_{j-1}
-            def fwd(y_prev, inputs):
-                bj, Mj = inputs
-                yj = bj - Mj @ y_prev
-                return yj, yj
-
-            y0 = bb[0]
-            _, ys_rest = jax.lax.scan(fwd, y0, (bb[1:], self.M[1:]))
-            ys = jnp.concatenate([y0[None], ys_rest], axis=0)
-
-            # backward: x_j = Dinv_j (y_j - B_j x_{j+1})
-            def bwd(x_next, inputs):
-                yj, Bj, Dij = inputs
-                xj = Dij @ (yj - Bj @ x_next)
-                return xj, xj
-
-            x_last = self.Dinv[-1] @ ys[-1]
-            _, xs_rest = jax.lax.scan(
-                bwd, x_last,
-                (ys[:-1], self.B[:-1], self.Dinv[:-1]), reverse=True,
-            )
-            xs = jnp.concatenate([xs_rest, x_last[None]], axis=0)
+        if _pallas_band_solve_wanted(bb.shape[-1]):
+            fn = _thomas_solve_trans_cv if trans else _thomas_solve_fwd_cv
+            xs = fn(self.M, self.Dinv, self.B, bb)
         else:
-            # A^T = Uhat^T Lhat^T.
-            # forward (Uhat^T z = b): z_j = Dinv_j^T (b_j - B_{j-1}^T z_{j-1})
-            def fwd_t(z_prev, inputs):
-                bj, Bjm1, Dij = inputs
-                zj = Dij.T @ (bj - Bjm1.T @ z_prev)
-                return zj, zj
-
-            z0 = self.Dinv[0].T @ bb[0]
-            _, zs_rest = jax.lax.scan(
-                fwd_t, z0, (bb[1:], self.B[:-1], self.Dinv[1:])
-            )
-            zs = jnp.concatenate([z0[None], zs_rest], axis=0)
-
-            # backward (Lhat^T x = z): x_j = z_j - M_{j+1}^T x_{j+1}
-            def bwd_t(x_next, inputs):
-                zj, Mjp1 = inputs
-                xj = zj - Mjp1.T @ x_next
-                return xj, xj
-
-            x_last = zs[-1]
-            _, xs_rest = jax.lax.scan(
-                bwd_t, x_last, (zs[:-1], self.M[1:]), reverse=True
-            )
-            xs = jnp.concatenate([xs_rest, x_last[None]], axis=0)
-
+            xs = _thomas_solve_scan(self.M, self.Dinv, self.B, bb, trans)
         x = xs.reshape(nb * s, -1)
         return x[:, 0] if squeeze else x
+
+
+def _thomas_solve_scan(M, Dinv, B, bb, trans: bool):
+    """Reference XLA-scan back-solve through an inverse-Thomas factor.
+    M, Dinv, B: (nb, s, s); bb: (nb, s, k) -> (nb, s, k)."""
+    if not trans:
+        # forward: y_j = b_j - M_j y_{j-1}
+        def fwd(y_prev, inputs):
+            bj, Mj = inputs
+            yj = bj - Mj @ y_prev
+            return yj, yj
+
+        y0 = bb[0]
+        _, ys_rest = jax.lax.scan(fwd, y0, (bb[1:], M[1:]))
+        ys = jnp.concatenate([y0[None], ys_rest], axis=0)
+
+        # backward: x_j = Dinv_j (y_j - B_j x_{j+1})
+        def bwd(x_next, inputs):
+            yj, Bj, Dij = inputs
+            xj = Dij @ (yj - Bj @ x_next)
+            return xj, xj
+
+        x_last = Dinv[-1] @ ys[-1]
+        _, xs_rest = jax.lax.scan(
+            bwd, x_last, (ys[:-1], B[:-1], Dinv[:-1]), reverse=True,
+        )
+        return jnp.concatenate([xs_rest, x_last[None]], axis=0)
+    # A^T = Uhat^T Lhat^T.
+    # forward (Uhat^T z = b): z_j = Dinv_j^T (b_j - B_{j-1}^T z_{j-1})
+    def fwd_t(z_prev, inputs):
+        bj, Bjm1, Dij = inputs
+        zj = Dij.T @ (bj - Bjm1.T @ z_prev)
+        return zj, zj
+
+    z0 = Dinv[0].T @ bb[0]
+    _, zs_rest = jax.lax.scan(fwd_t, z0, (bb[1:], B[:-1], Dinv[1:]))
+    zs = jnp.concatenate([z0[None], zs_rest], axis=0)
+
+    # backward (Lhat^T x = z): x_j = z_j - M_{j+1}^T x_{j+1}
+    def bwd_t(x_next, inputs):
+        zj, Mjp1 = inputs
+        xj = zj - Mjp1.T @ x_next
+        return xj, xj
+
+    x_last = zs[-1]
+    _, xs_rest = jax.lax.scan(bwd_t, x_last, (zs[:-1], M[1:]), reverse=True)
+    return jnp.concatenate([xs_rest, x_last[None]], axis=0)
+
+
+def _pallas_band_solve_wanted(k: int) -> bool:
+    """Trace-time routing decision for `InverseThomasFactor.solve`: the
+    fused Pallas sweeps (`ops/pallas_kernels.banded_solve_batch`) replace
+    the XLA scan on the TPU backend.  'auto' enables them for multi-rhs
+    solves (k >= 8: the dQ-rhs Jacobian/adjoint stages where the scan is
+    latency-bound, measured in benchmarks/probe_pallas_band.py); k=1
+    Newton back-solves stay on the scan.  Program caches key on the mode
+    (`models.sampling._PolicyKeyedCache`)."""
+    mode = config.pallas_band_solve()
+    if mode == "off" or jax.default_backend() != "tpu":
+        return False
+    return mode == "on" or k >= 8
+
+
+def _mk_thomas_solve_cv(trans: bool):
+    """custom_vmap wrapper: unbatched calls take the scan; a sample-batched
+    call (the vmapped materialize/adjoint stages) dispatches ONE fused
+    Pallas solve over the whole batch."""
+
+    @jax.custom_batching.custom_vmap
+    def solve_cv(M, Dinv, B, bb):
+        return _thomas_solve_scan(M, Dinv, B, bb, trans)
+
+    @solve_cv.def_vmap
+    def _rule(axis_size, in_batched, M, Dinv, B, bb):
+        args = []
+        for a, batched in zip((M, Dinv, B, bb), in_batched):
+            args.append(
+                a
+                if batched
+                else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            )
+        M_b, Dinv_b, B_b, bb_b = args
+        if M_b.ndim == 4 and jax.default_backend() == "tpu":
+            from .pallas_kernels import banded_solve_batch
+
+            return banded_solve_batch(M_b, Dinv_b, B_b, bb_b, trans), True
+        # nested vmap or non-TPU: plain batched scan
+        return jax.vmap(
+            lambda m_, d_, b2_, r_: _thomas_solve_scan(m_, d_, b2_, r_, trans)
+        )(M_b, Dinv_b, B_b, bb_b), True
+
+    return solve_cv
+
+
+_thomas_solve_fwd_cv = _mk_thomas_solve_cv(False)
+_thomas_solve_trans_cv = _mk_thomas_solve_cv(True)
 
 
 def factorize_thomas_inv_banded(band) -> InverseThomasFactor:

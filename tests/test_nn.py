@@ -121,6 +121,53 @@ def test_h1_loss_zero_for_exact_linear_net(projectors, linear_map_data):
     assert float(h1w({}, jnp.asarray(m[:8]), jnp.asarray(JstarPhi))) > 1e-3
 
 
+def test_h1_loss_normalized_is_scale_invariant(projectors, linear_map_data):
+    """normalized=True divides each sample's misfit by ||target||_F^2: the
+    loss of a 2x-wrong surrogate is then invariant to the Jacobian's
+    absolute scale (h1_weight becomes a unitless mix ratio)."""
+    P, Phi = projectors
+    m, _, _, J = linear_map_data
+
+    def apply_wrong(params, mm):
+        return 2.0 * mm @ J.T
+
+    h1n = make_h1_loss(apply_wrong, P, Phi, normalized=True)
+    JstarPhi = np.repeat((J.T @ Phi)[None], 8, axis=0)
+    v1 = float(h1n({}, jnp.asarray(m[:8]), jnp.asarray(JstarPhi)))
+    # rescale the MAP 100x: targets and net jacobian scale together
+    def apply_wrong_big(params, mm):
+        return 200.0 * mm @ J.T
+
+    h1n_big = make_h1_loss(apply_wrong_big, P, Phi, normalized=True)
+    v2 = float(h1n_big({}, jnp.asarray(m[:8]), 100.0 * jnp.asarray(JstarPhi)))
+    np.testing.assert_allclose(v1, v2, rtol=1e-10)
+    # 2x-wrong jacobian with exact-scale targets: relative misfit = 1.0
+    np.testing.assert_allclose(v1, 1.0, rtol=1e-10)
+
+
+def test_h1_loss_encoder_mismatch_corrupts_targets(projectors, linear_map_data):
+    """Regression for the round-4 sweep defect: sketches built with the
+    orthonormal Phi but the loss evaluated with a RESCALED encoder
+    (modify_projectors' Phi/||Phi||_F output layer) give a large H1 loss
+    even for the EXACT surrogate — the encoder must be the sketch Phi
+    (see make_h1_loss's consistency contract)."""
+    P, Phi = projectors
+    m, _, _, J = linear_map_data
+
+    def apply_exact(params, mm):
+        return mm @ J.T
+
+    JstarPhi = np.repeat((J.T @ Phi)[None], 8, axis=0)  # sketch with Phi
+    scale = np.linalg.norm(Phi)  # = sqrt(ROUT) for orthonormal Phi
+    h1_bad = make_h1_loss(apply_exact, P, Phi / scale, normalized=True)
+    v_bad = float(h1_bad({}, jnp.asarray(m[:8]), jnp.asarray(JstarPhi)))
+    h1_good = make_h1_loss(apply_exact, P, Phi, normalized=True)
+    v_good = float(h1_good({}, jnp.asarray(m[:8]), jnp.asarray(JstarPhi)))
+    assert v_good < 1e-18
+    # relative misfit of a (1/||Phi||)-scaled jacobian: (1 - 1/sqrt(5))^2
+    np.testing.assert_allclose(v_bad, (1.0 - 1.0 / scale) ** 2, rtol=1e-6)
+
+
 def test_h1_training_improves_jacobian_fit(projectors, linear_map_data):
     P, Phi = projectors
     m, q, A, J = linear_map_data

@@ -563,3 +563,91 @@ class TestAutoSolverGeometry:
         )
         assert obs.problem._structured_solver == "block_cyclic"
         assert obs.problem._structured_solver_fwd == "block_cyclic"
+
+
+class TestPallasBandedSolve:
+    """Fused Pallas sweep solve (`banded_solve_batch`) vs the XLA scan
+    (interpret mode on CPU; on TPU the same kernels run compiled via the
+    `config.set_pallas_band_solve` routing)."""
+
+    def _factors(self, nx=10, n_batch=3, k=5):
+        from hippyflow_tpu.ops.structured import (
+            factorize_thomas_inv_banded,
+            _thomas_solve_scan,
+        )
+        from hippyflow_tpu.fem import bc_symmetrize_banded_from_mask
+
+        V, A = _assembled_operator(nx, symmetric=False)
+        s = V.mesh.structured_shape[0] + 1
+        from hippyflow_tpu.ops.structured import extract_block_tridiag
+
+        D, L_A, B = extract_block_tridiag(A, s)
+        band = jnp.concatenate([L_A, D, B], axis=2)  # (nb, s, 3s)
+        scales = jnp.asarray([1.0, 1.4, 0.8][:n_batch])
+        bands = scales[:, None, None, None] * band[None]
+        facs = jax.vmap(factorize_thomas_inv_banded)(bands)
+        nb = band.shape[0]
+        rhs = jax.random.normal(jax.random.PRNGKey(3), (n_batch, nb, s, k))
+        return facs, rhs, _thomas_solve_scan
+
+    @pytest.mark.parametrize("trans", [False, True])
+    def test_interpret_matches_scan(self, trans):
+        from hippyflow_tpu.ops.pallas_kernels import banded_solve_batch
+
+        facs, rhs, scan = self._factors()
+        want = jax.vmap(lambda M, D, B, r: scan(M, D, B, r, trans))(
+            facs.M, facs.Dinv, facs.B, rhs
+        )
+        got = banded_solve_batch(
+            facs.M, facs.Dinv, facs.B, rhs, trans, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-12, atol=1e-12
+        )
+
+    def test_routing_is_off_on_cpu(self):
+        """On the CPU backend the custom_vmap rule must keep the scan: the
+        routed solve equals the scan bitwise."""
+        from hippyflow_tpu import config
+        from hippyflow_tpu.ops.structured import (
+            _thomas_solve_fwd_cv,
+            _thomas_solve_scan,
+        )
+
+        facs, rhs, _ = self._factors()
+        prev = config.set_pallas_band_solve("on")
+        try:
+            got = jax.vmap(_thomas_solve_fwd_cv)(facs.M, facs.Dinv, facs.B, rhs)
+        finally:
+            config.set_pallas_band_solve(prev)
+        want = jax.vmap(
+            lambda M, D, B, r: _thomas_solve_scan(M, D, B, r, False)
+        )(facs.M, facs.Dinv, facs.B, rhs)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    @pytest.mark.parametrize("trans", [False, True])
+    def test_interpret_solves_the_system(self, trans):
+        """End-to-end: kernel output actually solves A x = b / A^T x = b."""
+        from hippyflow_tpu.ops.pallas_kernels import banded_solve_batch
+
+        V, A = _assembled_operator(10, symmetric=False)
+        s = V.mesh.structured_shape[0] + 1
+        from hippyflow_tpu.ops.structured import (
+            extract_block_tridiag,
+            factorize_thomas_inv_banded,
+        )
+
+        D, L_A, B = extract_block_tridiag(A, s)
+        band = jnp.concatenate([L_A, D, B], axis=2)
+        fac = factorize_thomas_inv_banded(band)
+        nb = band.shape[0]
+        rhs = jax.random.normal(jax.random.PRNGKey(4), (1, nb, s, 4))
+        x = banded_solve_batch(
+            fac.M[None], fac.Dinv[None], fac.B[None], rhs, trans,
+            interpret=True,
+        )
+        op = A.T if trans else A
+        got = op @ np.asarray(x[0]).reshape(V.dim, 4)
+        np.testing.assert_allclose(
+            got, np.asarray(rhs[0]).reshape(V.dim, 4), atol=1e-8
+        )
