@@ -336,12 +336,16 @@ def run_tpu_pipeline(nx: int, n_samples: int, rank: int, dtype_str: str,
             )
             coarser.append((obs_cc.problem, V_cc))
             V_prev, vel_prev, nx_prev = V_cc, vel_cc, nx_prev // 2
+        # split=True factors the chain into per-level XLA programs that
+        # compile concurrently (the monolithic chain is the nx192 lane's
+        # longest cold-compile pole; BENCH_GRIDSEQ_SPLIT=0 restores it)
+        split = os.environ.get("BENCH_GRIDSEQ_SPLIT", "1") == "1"
         params["coarse_warm_start"] = coarse_newton_warm_start(
-            prior, obs_c.problem, Vh, Vc, coarser_levels=coarser
+            prior, obs_c.problem, Vh, Vc, coarser_levels=coarser, split=split
         )
         log(
             f"grid-sequenced Newton warm starts enabled, depth "
-            f"{1 + len(coarser)} (BENCH_GRIDSEQ=0 disables)"
+            f"{1 + len(coarser)}, split={split} (BENCH_GRIDSEQ=0 disables)"
         )
     params["rank"] = rank
     params["oversampling"] = OVERSAMPLING

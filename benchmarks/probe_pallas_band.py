@@ -14,8 +14,26 @@ measures, on the real lane geometries:
 
 Run alone (single-tenant tunnel):  python benchmarks/probe_pallas_band.py
 
-Measured results: see the commit that updates this docstring after the
-TPU run (numbers are only recorded once measured).
+Measured results (v5e over the axon tunnel, 2026-08-20):
+  micro nx64-shape  (B=256): scan 27.4 s  pallas 0.026 s (1070x), parity 0
+  micro nx192-shape (B=16):  scan 0.130 s pallas 0.026 s (5.1x); the 2e-1
+        micro "parity" is an artifact of the NON-diagonally-dominant
+        synthetic band (0.3-noise off-diagonals at s=193 give a huge
+        no-pivot growth factor); on REAL FEM factors below parity is
+        2.7e-07 (f32 roundoff).
+  stage nx=64  N=256: auto/CR 0.341 s | thomas off 0.215 s | thomas
+        pallas 0.211 s -> thomas_inv beats CR 1.6x for materialize at
+        s=65 too (the old 12 s/1024 probe_thomas scan number does not
+        reproduce inside the fused materialize program); pallas == scan
+        within noise there (chunk 256 keeps the scan's batched matmuls
+        large enough).
+  stage nx=192 N=64: all four configs 1.31 s (auto == thomas); pallas
+        1.309 vs scan 1.316 — the stage is NOT solve-bound; the
+        factorization dominates (see probe_jac_stages at nx=192).
+Conclusions: (a) kernel correct at both geometries; (b) the lane-level
+win at nx=64 comes from switching the auto adjoint to thomas_inv
+(pde_problem auto rule updated); (c) the remaining nx=192 frontier is
+the FACTORIZATION, not the back-solve.
 """
 
 import os
@@ -104,8 +122,12 @@ def stage(nx, n_samples):
     for solver in ("auto", "thomas_inv"):
         obs, Vh = confusion_linear_observable(nx=nx, velocity=vel, solver=solver)
         prior = confusion_prior(Vh)
-        batch = sample_until_solved(obs, prior, KeyChain(7), n_samples,
-                                    chunk_size=n_samples)
+        batch = sample_until_solved(
+            obs, prior, KeyChain(7), n_samples,
+            # nx=192 forward chunks cap at 32 (Thomas factors ~250 MB/sample
+            # live, bench.py nx192 lane note); nx=64 runs one full chunk
+            chunk_size=min(n_samples, 32 if nx >= 128 else 256),
+        )
         jax.block_until_ready(batch.us)
         for mode in ("off", "auto"):
             if solver == "auto" and mode == "auto" and (

@@ -78,8 +78,107 @@ def prolong_linear(xc, V_coarse, V_fine):
     return f.reshape((sfx * sfy,) + trail)
 
 
+class SplitWarmStartChain:
+    """Grid-sequencing warm-start map compiled as PER-LEVEL XLA programs.
+
+    Functionally identical to the single-program map built by
+    :func:`coarse_newton_warm_start` (same per-level solves, transfers and
+    failure fallbacks), but each level's Newton solve is its own jitted
+    program: the 1 + depth programs compile CONCURRENTLY through
+    `sampling.precompile_parallel` instead of as one monolithic chain whose
+    XLA compile is the nx192 lane's longest serial pole (VERDICT r4 item 5).
+    Costs one extra HBM round trip per level per chunk — O(n_coarse * b)
+    bytes, noise vs the solves.
+
+    Duck-typed for `sampling.sample_until_solved`: callable
+    ``noise (b, noise_dim) -> u0 (b, n_fine)`` with a ``builders(b, dtype)``
+    method returning the per-level program builders for threaded AOT
+    pre-compilation.
+    """
+
+    def __init__(self, prior, chain, V_fine):
+        self.prior = prior
+        self.chain = list(chain)  # [(problem, V)] fine-to-coarse
+        self.V_fine = V_fine
+        self._progs: dict = {}
+
+    # -- per-level pure functions (vmapped + jitted per batch size) --------
+    def _restrict_fn(self):
+        prior, chain, V_fine = self.prior, self.chain, self.V_fine
+
+        def one(noise):
+            m = prior.sample(noise)
+            ms = []
+            V_prev = V_fine
+            for _, V in chain:
+                m = restrict_injection(m, V_prev, V)
+                ms.append(m)
+                V_prev = V
+            return tuple(ms)
+
+        return jax.vmap(one)
+
+    def _level_fn(self, k: int):
+        problem, V = self.chain[k]
+        V_up = self.V_fine if k == 0 else self.chain[k - 1][1]
+
+        def one(m_k, u0_k):
+            u, info = problem.solve_fwd(m_k, u0=u0_k)
+            ok = info.converged & jnp.all(jnp.isfinite(u))
+            u0_up = prolong_linear(
+                jnp.where(ok, u, jnp.zeros_like(u)), V, V_up
+            )
+            good = ok & jnp.all(jnp.isfinite(u0_up))
+            return jnp.where(good, u0_up, jnp.zeros_like(u0_up))
+
+        return jax.vmap(one)
+
+    def _get(self, key, build):
+        if key not in self._progs:
+            self._progs[key] = build()
+        return self._progs[key]
+
+    def builders(self, b: int, dtype):
+        """Zero-arg program builders (restrict + one per level) at batch
+        size b, for `precompile_parallel`."""
+        from ..models.sampling import jit_lifted  # local: avoid cycle
+
+        noise_ex = jax.ShapeDtypeStruct((b, self.prior.noise_dim), dtype)
+
+        def mk_restrict():
+            return self._get(
+                ("restrict", b, str(dtype)),
+                lambda: jit_lifted(self._restrict_fn(), noise_ex),
+            )
+
+        out = [mk_restrict]
+        for k in range(len(self.chain)):
+            dim_k = self.chain[k][1].dim
+            m_ex = jax.ShapeDtypeStruct((b, dim_k), dtype)
+            u0_ex = jax.ShapeDtypeStruct((b, dim_k), dtype)
+            out.append(
+                lambda k=k, m_ex=m_ex, u0_ex=u0_ex: self._get(
+                    ("level", k, b, str(dtype)),
+                    lambda: jit_lifted(self._level_fn(k), m_ex, u0_ex),
+                )
+            )
+        return out
+
+    def __call__(self, noise):
+        b = noise.shape[0]
+        dtype = noise.dtype
+        blds = self.builders(b, dtype)
+        restrict = blds[0]()
+        ms = restrict(noise)
+        u0 = jnp.zeros((b, self.chain[-1][1].dim), dtype=dtype)
+        for k in reversed(range(len(self.chain))):
+            u0 = blds[1 + k]()(ms[k], u0)
+        return u0
+
+
 def coarse_newton_warm_start(
-    prior, problem_coarse, V_fine, V_coarse, coarser_levels=()
+    prior, problem_coarse, V_fine, V_coarse, coarser_levels=(),
+    split: bool = False,
 ):
     """Build a per-sample warm-start map ``noise (b, noise_dim) -> u0 (b, n_f)``
     for ``sample_until_solved(coarse_warm_start=...)``.
@@ -100,8 +199,15 @@ def coarse_newton_warm_start(
     1-2 (benchmarks/probe_gridseq_deep.py).  Any level that fails to
     converge (or goes non-finite) degrades gracefully to a zero initial
     guess for the level above it.
+
+    ``split=True`` returns a :class:`SplitWarmStartChain` — the same map
+    factored into per-level XLA programs that compile concurrently (the
+    monolithic chain program is the nx192 lane's longest cold-compile
+    pole).
     """
     chain = [(problem_coarse, V_coarse)] + list(coarser_levels)
+    if split:
+        return SplitWarmStartChain(prior, chain, V_fine)
 
     def solve_at(level, m_level):
         """Solve chain[level] at its restricted parameter, warm-started

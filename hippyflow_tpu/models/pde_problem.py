@@ -295,7 +295,16 @@ class VariationalPDEProblem:
         # where its log2(nb)=10 levels beat 577 latency-bound tiny steps.
         if solver == "auto" and self._use_block_tridiag:
             nb = self.state_dim // self._block_size
-            if self._block_size >= 128 or nb <= 64:
+            # round-5 re-measurement at the ACTUAL lane geometries
+            # (benchmarks/probe_pallas_band.py stage phase): inverse-Thomas
+            # beats CR for the dQ-rhs materialize at s=65 x nb=65 too
+            # (0.215 vs 0.341 s per 256 samples) — the earlier CR-wins
+            # split came from a standalone-scan measurement that does not
+            # reproduce inside the fused materialize program.  Thomas also
+            # serves fwd+trans from one factor and feeds the fused Pallas
+            # back-solve.  CR remains for extreme long-thin bands (tiny
+            # blocks, nb in the many hundreds), which no current lane hits.
+            if self._block_size >= 128 or nb <= 256:
                 self._structured_solver = "thomas_inv"
         self.bc = bc
         assert bc.mask.shape[0] == self.state_dim, (

@@ -313,7 +313,13 @@ def sample_until_solved(
 
     cache = _jit_cache(observable)
 
+    cws_split = use_cws and hasattr(coarse_warm_start, "builders")
+
     def get_cws(b: int):
+        if cws_split:
+            # SplitWarmStartChain manages its own per-level jitted programs
+            # (fem/multigrid.py); its builders feed precompile_parallel below
+            return coarse_warm_start
         ck = ("cws", _obj_token(coarse_warm_start), b, str(dtype))
         if ck not in cache:
             noise_ex = jax.ShapeDtypeStruct((b, prior.noise_dim), dtype)
@@ -381,7 +387,9 @@ def sample_until_solved(
     with_u0 = use_cws or warm_start
     builders = []
     for b in sorted(sizes, reverse=True):
-        if use_cws:
+        if cws_split:
+            builders.extend(coarse_warm_start.builders(b, dtype))
+        elif use_cws:
             builders.append(lambda b=b: get_cws(b))
         builders.append(lambda b=b: get_solve_chunk(b, with_u0))
     if precompile_only:

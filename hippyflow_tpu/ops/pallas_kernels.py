@@ -284,6 +284,13 @@ def _run_sweep(H, G, bb, *, trans_H, trans_G, reverse, h_shift, tile,
         in_specs=in_specs,
         out_specs=rhs_spec,
         scratch_shapes=[pltpu.VMEM((tile, s, k), bb.dtype)],
+        # the default scoped-vmem limit is 16 MB; the tile sizing targets
+        # ~28 MB of live buffers (double-buffered factor/rhs blocks +
+        # carry), well under the 128 MB physical VMEM — raise the cap with
+        # headroom for Mosaic temporaries
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         cost_estimate=pl.CostEstimate(
             flops=int(2 * (2 if G is not None else 1) * N * nb * s * s * k),
             bytes_accessed=int(
@@ -339,6 +346,191 @@ def banded_solve_batch(M, Dinv, B, bb, trans: bool, interpret: bool = False):
         x = _run_sweep(M, None, z, trans_H=True, trans_G=False,
                        reverse=True, h_shift=+1, **kw)
     return x[:N] if n_pad else x
+
+
+# ---------------------------------------------------------------------------
+# Fused banded factorization (round-5 frontier: probe_jac_stages at nx=192
+# measures factorization at 76% of the materialize cost — 250 ms of 330 ms
+# per 16-sample chunk — and Newton refactorizes every iteration)
+# ---------------------------------------------------------------------------
+#
+# `factorize_thomas_inv_banded` as an XLA scan issues, per block row, two
+# batched matmuls plus a SEPARATE `pallas_call` for the Gauss-Jordan
+# inverse — nb kernel launches with every carry round-tripping HBM.  This
+# kernel runs the whole recurrence in one launch: grid (batch_tile, nb),
+# the Dinv carry lives in VMEM scratch, band blocks stream double-buffered,
+# and the blocked GJ inverse runs in-kernel on a VMEM augmented tile.
+#
+# Recurrence (`ops/structured._factorize_thomas_inv_banded`):
+#   M_j    = A_j Dinv_{j-1}            (M_0 = 0)
+#   Dinv_j = (D_j - M_j B_{j-1})^{-1}  (blocked Gauss-Jordan, no pivoting)
+# Zeroing the carry at j=0 makes the uniform expressions produce M_0 = 0
+# and T_0 = D_0 exactly (no masking).  Same no-pivoting contract as
+# `batched_inverse` (bc-symmetrized diagonally-dominant FEM operators).
+
+
+def _gj_invert_ref(aug_ref, bs: int):
+    """In-place blocked Gauss-Jordan on an augmented VMEM ref
+    (tb, s, 2s) holding [T | I]; on return the right half is T^{-1}.
+    Same algorithm/precision as `_gj_blocked_kernel_factory` (rank-bs MXU
+    updates, unrolled pivot-block inverse, no pivoting)."""
+    def bdot(x, y):
+        return jax.lax.dot_general(
+            x, y,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=x.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    s = aug_ref.shape[2] // 2
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, s, 1), 1)
+    for kb in range(0, s, bs):
+        w = min(bs, s - kb)
+        R = aug_ref[:, kb : kb + w, :]  # (tb, w, 2s)
+        App = R[:, :, kb : kb + w]
+        r_w = jax.lax.broadcasted_iota(jnp.int32, (1, w, 2 * w), 1)
+        c_w = jax.lax.broadcasted_iota(jnp.int32, (1, w, 2 * w), 2)
+        eye_w = (c_w - w == r_w).astype(R.dtype)
+        augs = jnp.where(
+            c_w < w,
+            jnp.concatenate([App, App], axis=2),
+            jnp.broadcast_to(eye_w, App.shape[:1] + (w, 2 * w)),
+        )
+        rid_w = jax.lax.broadcasted_iota(jnp.int32, (1, w, 1), 1)
+        for k in range(w):
+            row = augs[:, k : k + 1, :]
+            piv = augs[:, k : k + 1, k : k + 1]
+            row_n = row / piv
+            col = augs[:, :, k : k + 1]
+            col = jnp.where(rid_w == k, 0.0, col)
+            augs = jnp.where(rid_w == k, row_n, augs - col * row_n)
+        App_inv = augs[:, :, w:]
+        Rn = bdot(App_inv, R)  # (tb, w, 2s) normalized pivot rows
+        C = aug_ref[:, :, kb : kb + w]  # (tb, s, w)
+        in_blk = (row_ids >= kb) & (row_ids < kb + w)
+        C = jnp.where(in_blk, 0.0, C)
+        aug_ref[...] = aug_ref[...] - bdot(C, Rn)
+        aug_ref[:, kb : kb + w, :] = Rn
+
+
+def _factorize_kernel_factory(bs: int):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def bdot(x, y):
+        return jax.lax.dot_general(
+            x, y,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=x.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def kernel(band_ref, M_ref, Dinv_ref, dprev, bprev):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            dprev[...] = jnp.zeros_like(dprev)
+            # uninitialized VMEM can decode as NaN/Inf; 0 @ NaN = NaN, so
+            # the M_0 = 0 argument alone does not protect the j=0 step
+            bprev[...] = jnp.zeros_like(bprev)
+
+        band = band_ref[:, 0]  # (tb, s, 3s)
+        s = band.shape[1]
+        Aj = band[:, :, :s]
+        Dj = band[:, :, s : 2 * s]
+        # B_{j-1} rides a VMEM scratch carry (written from last step's band
+        # block — no second DMA of the band); garbage at j=0, where M_0 = 0
+        # kills the term
+        Mj = bdot(Aj, dprev[...])  # = 0 at j = 0
+        T = Dj - bdot(Mj, bprev[...])
+
+        def body(aug_ref):
+            r_s = jax.lax.broadcasted_iota(jnp.int32, (1, s, s), 1)
+            c_s = jax.lax.broadcasted_iota(jnp.int32, (1, s, s), 2)
+            aug_ref[:, :, :s] = T
+            aug_ref[:, :, s:] = jnp.broadcast_to(
+                (r_s == c_s).astype(T.dtype), T.shape
+            )
+            _gj_invert_ref(aug_ref, bs)
+            inv = aug_ref[:, :, s:]
+            Dinv_ref[:, 0] = inv
+            dprev[...] = inv
+
+        M_ref[:, 0] = Mj
+        bprev[...] = band[:, :, 2 * s :]
+        pl.run_scoped(body, pltpu.VMEM((T.shape[0], s, 2 * s), T.dtype))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def banded_factorize_batch(band, interpret: bool = False):
+    """Batched inverse-Thomas factorization in ONE fused Pallas launch.
+
+    band: (N, nb, s, 3s) -> (M, Dinv) each (N, nb, s, s), matching
+    `ops/structured._factorize_thomas_inv_banded` (B is band[..., 2s:]).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, nb, s, _ = band.shape
+    itemsize = band.dtype.itemsize
+    # live set: band in x2, B-prev in x2, two outs x2, carry, augmented GJ
+    # tile (s, 2s) — budget 28 MB
+    sub = -(-s // 8) * 8
+    lane = -(-s // 128) * 128
+    per = itemsize * sub * lane * (2 * 3 + 2 * 1 + 2 * 2 + 1 + 2 + 2)
+    tile = max(1, int(28e6 / per))
+    tile = 1 << (tile.bit_length() - 1)
+    tile = min(tile, 1 << max(N - 1, 0).bit_length())
+    if interpret:
+        tile = min(tile, 4)
+    n_pad = (-N) % tile
+    if n_pad:
+        eye = jnp.broadcast_to(jnp.eye(s, dtype=band.dtype), (n_pad, nb, s, s))
+        zero = jnp.zeros((n_pad, nb, s, s), dtype=band.dtype)
+        pad = jnp.concatenate([zero, eye, zero], axis=3)
+        band = jnp.concatenate([band, pad], axis=0)
+    out = pl.pallas_call(
+        _factorize_kernel_factory(13),
+        out_shape=(
+            jax.ShapeDtypeStruct(band.shape[:2] + (s, s), band.dtype),
+            jax.ShapeDtypeStruct(band.shape[:2] + (s, s), band.dtype),
+        ),
+        grid=(band.shape[0] // tile, nb),
+        in_specs=[
+            pl.BlockSpec(
+                (tile, 1, s, 3 * s), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (tile, 1, s, s), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile, 1, s, s), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile, s, s), band.dtype),  # Dinv carry
+            pltpu.VMEM((tile, s, s), band.dtype),  # B_{j-1} carry
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(8 * band.shape[0] * nb * s**3),
+            bytes_accessed=int(3 * band.size * itemsize),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(band)
+    M, Dinv = out
+    return (M[:N], Dinv[:N]) if n_pad else (M, Dinv)
 
 
 def _small_gj_inverse(App):

@@ -585,12 +585,47 @@ _thomas_solve_fwd_cv = _mk_thomas_solve_cv(False)
 _thomas_solve_trans_cv = _mk_thomas_solve_cv(True)
 
 
+@jax.custom_batching.custom_vmap
+def _thomas_factorize_cv(band):
+    return _factorize_thomas_inv_banded(band)
+
+
+@_thomas_factorize_cv.def_vmap
+def _thomas_factorize_rule(axis_size, in_batched, band):
+    if not in_batched[0]:
+        band = jnp.broadcast_to(band[None], (axis_size,) + band.shape)
+    batched_spec = InverseThomasFactor(M=True, Dinv=True, B=True)
+    if band.ndim == 4 and jax.default_backend() == "tpu":
+        from .pallas_kernels import banded_factorize_batch
+
+        M, Dinv = banded_factorize_batch(band)
+        s = band.shape[2]
+        return (
+            InverseThomasFactor(M=M, Dinv=Dinv, B=band[..., 2 * s :]),
+            batched_spec,
+        )
+    out = jax.vmap(_factorize_thomas_inv_banded)(band)
+    return out, batched_spec
+
+
 def factorize_thomas_inv_banded(band) -> InverseThomasFactor:
     """Inverse-based block-Thomas factorization from (nb, s, 3s) band
-    storage.  Per-sample function; compose with jax.vmap for batches —
-    the scan stays length nb while every step's matmuls and inverse
-    batch over the sample axis (see `_block_inv_single`)."""
+    storage.  Per-sample function; compose with jax.vmap for batches.
+
+    On the TPU backend a sample-batched call (the vmapped Newton /
+    linearize paths) dispatches ONE fused Pallas factorization
+    (`ops/pallas_kernels.banded_factorize_batch`: grid over block rows,
+    Dinv carry VMEM-resident, in-kernel blocked Gauss-Jordan) — measured
+    at nx=192 the XLA scan's per-row dispatches put factorization at 76%
+    of the Jacobian stage (benchmarks/probe_jac_stages.py).  Elsewhere the
+    scan runs, with every step's matmuls and inverse batched over the
+    vmapped sample axis (see `_block_inv_single`).  Routing obeys
+    `config.set_pallas_band_solve` ('off' keeps the scan everywhere)."""
     with _prec_ctx():
+        if config.pallas_band_solve() != "off" and (
+            jax.default_backend() == "tpu"
+        ):
+            return _thomas_factorize_cv(band)
         return _factorize_thomas_inv_banded(band)
 
 

@@ -132,3 +132,45 @@ def test_recursive_chain_matches_two_grid():
     np.testing.assert_allclose(np.asarray(u3), np.asarray(u2), atol=1e-5)
     # determinism: re-evaluating the 3-grid map is bitwise identical
     np.testing.assert_array_equal(np.asarray(cws3(noise)), np.asarray(u0_3))
+
+
+def test_split_chain_matches_monolithic():
+    """split=True (per-level XLA programs, SplitWarmStartChain) computes
+    the same warm start as the single-program chain, is deterministic, and
+    composes with sample_until_solved's builders/precompile path."""
+    nx = 16
+    obs, Vf = confusion_linear_observable(nx=nx, velocity="analytic")
+    obs_c, Vc = confusion_linear_observable(nx=nx // 2, velocity="analytic")
+    obs_cc, Vcc = confusion_linear_observable(nx=nx // 4, velocity="analytic")
+    prior = confusion_prior(Vf)
+    kw = dict(coarser_levels=[(obs_cc.problem, Vcc)])
+    cws_mono = coarse_newton_warm_start(prior, obs_c.problem, Vf, Vc, **kw)
+    cws_split = coarse_newton_warm_start(
+        prior, obs_c.problem, Vf, Vc, split=True, **kw
+    )
+    noise = KeyChain(5).normal((6, prior.noise_dim))
+    u0_m = np.asarray(cws_mono(noise))
+    u0_s = np.asarray(cws_split(noise))
+    # same per-level solves/transfers, only program boundaries differ
+    np.testing.assert_allclose(u0_s, u0_m, rtol=0, atol=1e-12)
+    # deterministic re-evaluation (resume guarantee)
+    np.testing.assert_array_equal(np.asarray(cws_split(noise)), u0_s)
+    # builders: 1 restrict + depth level programs, all precompilable
+    blds = cws_split.builders(6, noise.dtype)
+    assert len(blds) == 3
+    for b in blds:
+        f = b()
+        assert hasattr(f, "precompile")
+    # end-to-end through sample_until_solved (same stream as monolithic)
+    b_s = sample_until_solved(
+        obs, prior, KeyChain(11), n_samples=8, chunk_size=4,
+        coarse_warm_start=cws_split,
+    )
+    b_m = sample_until_solved(
+        obs, prior, KeyChain(11), n_samples=8, chunk_size=4,
+        coarse_warm_start=cws_mono,
+    )
+    np.testing.assert_array_equal(np.asarray(b_s.ms), np.asarray(b_m.ms))
+    np.testing.assert_allclose(
+        np.asarray(b_s.us), np.asarray(b_m.us), atol=1e-6
+    )

@@ -536,9 +536,12 @@ class TestAutoSolverGeometry:
         pde, *_ = setup_poisson_control_problem(settings)
         return pde
 
-    def test_small_block_long_band_keeps_cr_adjoint(self):
+    def test_lane_geometries_pick_thomas_adjoint(self):
+        """Round-5 rule: inverse-Thomas serves the adjoint at every real
+        lane geometry (measured in probe_pallas_band.py); CR remains only
+        for extreme long-thin bands (nb > 256 with small blocks)."""
         pde = self._poisson(70)  # s=71, nb=71
-        assert pde._structured_solver == "block_cyclic"
+        assert pde._structured_solver == "thomas_inv"
         assert pde._structured_solver_fwd == "thomas_inv"
 
     def test_short_band_picks_thomas_inv(self):
@@ -650,4 +653,40 @@ class TestPallasBandedSolve:
         got = op @ np.asarray(x[0]).reshape(V.dim, 4)
         np.testing.assert_allclose(
             got, np.asarray(rhs[0]).reshape(V.dim, 4), atol=1e-8
+        )
+
+
+class TestPallasBandedFactorize:
+    """Fused Pallas factorization (`banded_factorize_batch`) vs the XLA
+    scan factorization, interpret mode on CPU."""
+
+    def test_interpret_matches_scan(self):
+        from hippyflow_tpu.ops.pallas_kernels import banded_factorize_batch
+        from hippyflow_tpu.ops.structured import (
+            _factorize_thomas_inv_banded,
+            extract_block_tridiag,
+        )
+
+        V, A = _assembled_operator(10, symmetric=False)
+        s = V.mesh.structured_shape[0] + 1
+        D, L_A, B = extract_block_tridiag(A, s)
+        band = jnp.concatenate([L_A, D, B], axis=2)
+        scales = jnp.asarray([1.0, 1.3, 0.7])
+        bands = scales[:, None, None, None] * band[None]
+        want = jax.vmap(_factorize_thomas_inv_banded)(bands)
+        M, Dinv = banded_factorize_batch(bands, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(M), np.asarray(want.M), rtol=1e-11, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(Dinv), np.asarray(want.Dinv), rtol=1e-10, atol=1e-11
+        )
+        # and the fused factor solves the system end-to-end
+        from hippyflow_tpu.ops.structured import InverseThomasFactor
+
+        fac = InverseThomasFactor(M=M[0], Dinv=Dinv[0], B=B)
+        rhs = jax.random.normal(jax.random.PRNGKey(5), (V.dim, 3))
+        x = fac.solve(rhs, trans=True)
+        np.testing.assert_allclose(
+            np.asarray(A.T @ x), np.asarray(rhs), atol=1e-8
         )
