@@ -157,10 +157,123 @@ class BoundGalerkinForm:
             )
         )(u_e, m_e, self._xq, self._wdet, self._grads, *self._coef.values())
 
+    # -- structured scatter-free assembly tables -----------------------------
+    def _structured_tables(self):
+        """Static plan for SCATTER-FREE assembly on structured P1 scalar
+        meshes (round-5: XLA's scatter/segment-sum is the assembly
+        bottleneck on TPU — measured 163 ms of the 225 ms nx=192 linearize,
+        /tmp-probe 2026-08-20; see benchmarks/probe_pallas_band.py notes).
+
+        On `rectangle_mesh` the cells array is (ny, nx, 2, 3) with CONSTANT
+        per-(type, local-vertex) grid offsets, so every element-matrix entry
+        (t, a, b) lands on ONE fixed matrix diagonal d = g2 - g1 (seven
+        distinct values).  Assembly then becomes: shifted slice-adds of the
+        (ny, nx) element grids into seven (nb, s) diagonal arrays, plus a
+        pure-data-movement diagonal->band composition (see
+        `_structured_band`).  No scatter, no gather, no segment ids.
+
+        Returns None when the mesh/space does not satisfy the layout (the
+        general segment-sum path remains)."""
+        if hasattr(self, "_struct_plan"):
+            return self._struct_plan
+        self._struct_plan = None
+        mesh = self.Vu.mesh
+        shape = getattr(mesh, "structured_shape", None)
+        cells = np.asarray(self.cells)
+        if (
+            shape is not None
+            and self.Vu.degree == 1
+            and cells.shape[1] == 3
+            and np.array_equal(cells, np.asarray(self.Vm.cell_dofs))
+        ):
+            nx, ny = shape
+            s = nx + 1
+            if cells.shape[0] == 2 * nx * ny:
+                C = cells.reshape(ny, nx, 2, 3)
+                base = np.arange(ny)[:, None] * s + np.arange(nx)[None, :]
+                offs = np.zeros((2, 3, 2), dtype=int)
+                ok = True
+                for t in range(2):
+                    for a in range(3):
+                        rel = C[:, :, t, a] - base
+                        if not (rel == rel[0, 0]).all():
+                            ok = False
+                            break
+                        offs[t, a] = divmod(int(rel[0, 0]), s)
+                if ok:
+                    from collections import defaultdict
+
+                    plan = defaultdict(list)
+                    for t in range(2):
+                        for a in range(3):
+                            for b in range(3):
+                                d = (offs[t, b, 0] - offs[t, a, 0]) * s + (
+                                    offs[t, b, 1] - offs[t, a, 1]
+                                )
+                                plan[int(d)].append(
+                                    (t, a, b, int(offs[t, a, 0]),
+                                     int(offs[t, a, 1]))
+                                )
+                    self._struct_plan = (nx, ny, s, dict(plan), offs)
+        return self._struct_plan
+
+    def _structured_residual(self, r_e, plan):
+        nx, ny, s, _, offs = plan
+        E = r_e.reshape(ny, nx, 2, 3)
+        r = jnp.zeros((ny + 1, s), dtype=r_e.dtype)
+        for t in range(2):
+            for a in range(3):
+                dy, dx = int(offs[t, a, 0]), int(offs[t, a, 1])
+                r = r.at[dy : dy + ny, dx : dx + nx].add(E[:, :, t, a])
+        return r.reshape(self.n)
+
+    def _structured_band(self, A_e, plan):
+        """Diagonal accumulation + the stride-(3s+1) flat-view placement:
+        band-flat position of a diagonal-d entry at in-block row i is
+        i*(3s+1) + (s+d), so each diagonal is ONE COLUMN of the band padded
+        to width 3s+1 — composition is a concatenate, and the final
+        reshape-slice drops the structurally-zero pad tail."""
+        nx, ny, s, dplan, offs = plan
+        nb = ny + 1
+        E = A_e.reshape(ny, nx, 2, 3, 3)
+        W = 3 * s + 1
+        cols = {}
+        for d, entries in dplan.items():
+            acc = jnp.zeros((nb, s), dtype=A_e.dtype)
+            for (t, a, b, dy, dx) in entries:
+                acc = acc.at[dy : dy + ny, dx : dx + nx].add(E[:, :, t, a, b])
+            c = (s + d) % W
+            if (s + d - c) // W == -1:
+                # d < -s: lands one view-row up at column 3s; the dropped
+                # acc[:, 0] is structurally zero (no element couples the
+                # left edge to the previous grid row's right edge)
+                acc = jnp.concatenate(
+                    [acc[:, 1:], jnp.zeros((nb, 1), dtype=acc.dtype)], axis=1
+                )
+            cols[c] = acc
+        pieces = []
+        pos = 0
+        for c in sorted(cols):
+            if c > pos:
+                pieces.append(
+                    jnp.zeros((nb, s, c - pos), dtype=A_e.dtype)
+                )
+            pieces.append(cols[c][:, :, None])
+            pos = c + 1
+        if pos < W:
+            pieces.append(jnp.zeros((nb, s, W - pos), dtype=A_e.dtype))
+        buf = jnp.concatenate(pieces, axis=2)  # (nb, s, 3s+1)
+        return (
+            buf.reshape(nb, s * W)[:, : 3 * s * s].reshape(nb, s, 3 * s)
+        )
+
     # -- public entry points -------------------------------------------------
     def residual(self, u, m, z=None):
         """Global residual vector r(u, m, z) of shape (n,)."""
         r_e = self._per_cell(self._r_elem, u, m, z)  # (nc, ndu)
+        plan = self._structured_tables()
+        if plan is not None:
+            return self._structured_residual(r_e, plan)
         return jax.ops.segment_sum(
             r_e.reshape(-1), self.cells.reshape(-1), num_segments=self.n
         )
@@ -240,9 +353,13 @@ class BoundGalerkinForm:
         return self._band_idx_cache[s]
 
     def prepare_banded(self, s: int) -> None:
-        """Eagerly materialize the band scatter indices on device (call at
-        problem construction, outside jit)."""
-        self._band_indices(s)
+        """Eagerly materialize the band assembly tables (call at problem
+        construction, outside jit).  Structured P1 meshes need only the
+        tiny scatter-free plan; others materialize the band scatter
+        indices on device."""
+        plan = self._structured_tables()
+        if plan is None or plan[2] != s:
+            self._band_indices(s)
 
     def assemble_A_diag(self, u, m, z=None):
         """Diagonal of dr/du (n,): the Jacobi preconditioner for the
@@ -258,9 +375,16 @@ class BoundGalerkinForm:
     def assemble_A_banded(self, u, m, z, s: int):
         """dr/du in block-tridiagonal band storage (nb, s, 3s): the memory-
         and bandwidth-lean path for structured meshes — O(n s) instead of the
-        dense O(n^2), which is what lets sample chunks be large on-chip."""
+        dense O(n^2), which is what lets sample chunks be large on-chip.
+
+        Structured P1 meshes take the SCATTER-FREE diagonal path
+        (`_structured_tables`); the segment-sum fallback covers everything
+        else."""
         k = jax.jacfwd(self._r_elem, argnums=0)
         A_e = self._per_cell(k, u, m, z)  # (nc, 3, 3)
+        plan = self._structured_tables()
+        if plan is not None and plan[2] == s:
+            return self._structured_band(A_e, plan)
         idx = self._band_indices(s)
         flat = jax.ops.segment_sum(
             A_e.reshape(-1), idx, num_segments=self.n * 3 * s
