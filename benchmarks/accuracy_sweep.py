@@ -48,6 +48,14 @@ N_VAL = 512
 IN_RANK, OUT_RANK = 8, 16
 DATA_SIZES = (32, 64, 128, 256, 512, 1024, 1536)
 SEEDS = (0, 1, 2)
+# The H1-vs-l2 comparison must hold to >2 sigma in the few-data regime
+# (VERDICT r4 item 1) — 5 weight seeds there, 3 at the cheap-to-train-but-
+# slow-to-converge large sizes where the curves merge anyway.
+SEEDS_SMALL = (0, 1, 2, 3, 4)
+
+
+def seeds_for(n: int):
+    return SEEDS_SMALL if n <= 256 else SEEDS
 SWEEPS = int(os.environ.get("SWEEP_EPOCHS", 40))
 # H1 configuration (round-5): normalized per-sample relative Frobenius
 # misfit; weight selected by `--stage pilot` (h1_weight in {0.1, 1, 10}).
@@ -190,7 +198,7 @@ def stage_sweep():
     for arch in ("dipnet", "dipresnet"):
         for loss in ("l2", "h1"):
             for n in DATA_SIZES:
-                for seed in SEEDS:
+                for seed in seeds_for(n):
                     key = repr((arch, loss, n, seed))
                     if key in master:
                         continue
@@ -320,7 +328,7 @@ def summarize(master=None):
             "n_val": N_VAL,
             "ranks": f"{IN_RANK}x{OUT_RANK}",
             "sweeps": SWEEPS,
-            "seeds": len(SEEDS),
+            "seeds": {"n<=256": len(SEEDS_SMALL), "n>256": len(SEEDS)},
             "optimizer": "incg_b128_hb16_lr20",
             "h1_weight": H1_WEIGHT,
             "h1_normalized": H1_NORMALIZED,
@@ -336,7 +344,7 @@ def summarize(master=None):
             for n in DATA_SIZES:
                 vals = [
                     master[repr((arch, loss, n, s))]["max_val_acc"]
-                    for s in SEEDS
+                    for s in seeds_for(n)
                     if repr((arch, loss, n, s)) in master
                 ]
                 if not vals:
