@@ -11,6 +11,7 @@ with fresh keys — same recovery semantics, batched hot path.
 from __future__ import annotations
 
 import math
+import time
 from dataclasses import dataclass
 
 import jax
@@ -210,13 +211,24 @@ def precompile_parallel(builders, verbose: bool = False, label: str = ""):
         return
     import concurrent.futures as cf
 
-    def run(b):
+    def run(i, b):
+        t0 = time.time()
         f = b()
+        t1 = time.time()
         if hasattr(f, "precompile"):
             f.precompile()
+        if verbose:
+            # trace (python-side lowering, GIL-bound across threads) vs
+            # compile (XLA backend / remote service, truly concurrent) —
+            # the split that tells cold-start work where to go next
+            print(
+                f"precompile{label} builder {i}: trace {t1 - t0:.1f}s, "
+                f"compile {time.time() - t1:.1f}s",
+                flush=True,
+            )
 
     with cf.ThreadPoolExecutor(max_workers=len(builders)) as ex:
-        futs = [ex.submit(run, b) for b in builders]
+        futs = [ex.submit(run, i, b) for i, b in enumerate(builders)]
         for fut in futs:
             try:
                 fut.result()
