@@ -231,16 +231,22 @@ class BoundGalerkinForm:
         """Diagonal accumulation + the stride-(3s+1) flat-view placement:
         band-flat position of a diagonal-d entry at in-block row i is
         i*(3s+1) + (s+d), so each diagonal is ONE COLUMN of the band padded
-        to width 3s+1 — composition is a concatenate, and the final
-        reshape-slice drops the structurally-zero pad tail."""
+        to width 3s+1.  Composition is a single one-hot matmul (K=7
+        diagonals -> W columns) rather than a K-way concatenate: one
+        dot_general both compiles faster and avoids an XLA:CPU miscompile
+        observed with the concat+reshape-slice form (heap corruption that
+        crashed LATER compiles; caught by the round-5 full-suite bisect —
+        keep this form unless that is understood)."""
         nx, ny, s, dplan, offs = plan
         nb = ny + 1
         E = A_e.reshape(ny, nx, 2, 3, 3)
         W = 3 * s + 1
-        cols = {}
-        for d, entries in dplan.items():
+        ds = sorted(dplan)
+        diags = []
+        onehot = np.zeros((len(ds), W), dtype=A_e.dtype)
+        for k, d in enumerate(ds):
             acc = jnp.zeros((nb, s), dtype=A_e.dtype)
-            for (t, a, b, dy, dx) in entries:
+            for (t, a, b, dy, dx) in dplan[d]:
                 acc = acc.at[dy : dy + ny, dx : dx + nx].add(E[:, :, t, a, b])
             c = (s + d) % W
             if (s + d - c) // W == -1:
@@ -250,19 +256,10 @@ class BoundGalerkinForm:
                 acc = jnp.concatenate(
                     [acc[:, 1:], jnp.zeros((nb, 1), dtype=acc.dtype)], axis=1
                 )
-            cols[c] = acc
-        pieces = []
-        pos = 0
-        for c in sorted(cols):
-            if c > pos:
-                pieces.append(
-                    jnp.zeros((nb, s, c - pos), dtype=A_e.dtype)
-                )
-            pieces.append(cols[c][:, :, None])
-            pos = c + 1
-        if pos < W:
-            pieces.append(jnp.zeros((nb, s, W - pos), dtype=A_e.dtype))
-        buf = jnp.concatenate(pieces, axis=2)  # (nb, s, 3s+1)
+            diags.append(acc)
+            onehot[k, c] = 1.0
+        stacked = jnp.stack(diags, axis=2)  # (nb, s, K)
+        buf = stacked @ jnp.asarray(onehot, dtype=A_e.dtype)  # (nb, s, W)
         return (
             buf.reshape(nb, s * W)[:, : 3 * s * s].reshape(nb, s, 3 * s)
         )

@@ -22,6 +22,9 @@ jax.config.update("jax_enable_x64", True)
 # suite drops from ~18 min to a few minutes.
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), ".jax_cache"),
+    os.environ.get(
+        "HIPPYFLOW_TEST_CACHE_DIR",
+        os.path.join(os.path.dirname(__file__), ".jax_cache"),
+    ),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
