@@ -132,6 +132,33 @@ def pallas_band_solve() -> str:
     return _pallas_band_solve
 
 
+# Block-size ceiling for the fused band kernels.  Their in-kernel blocked
+# Gauss-Jordan unrolls ~s elimination steps into the Mosaic program
+# (`ops/pallas_kernels._gj_invert_ref`), so compile time grows linearly in
+# s: measured fine through s=193 (nx=192 lane, probe_pallas_band.py) but
+# pathological at the helmholtz lane's s=516 (>25 min remote compile vs the
+# scan path's 49 s round-4 lane).  Above the cap the XLA-scan solve runs —
+# at s=516 each scan step is already a well-shaped 516x516 matmul batch, so
+# the latency argument for fusing is weak there anyway.
+_pallas_band_max_block: int = 256
+
+
+def set_pallas_band_max_block(s: int) -> int:
+    global _pallas_band_max_block
+    prev = _pallas_band_max_block
+    _pallas_band_max_block = int(s)
+    return prev
+
+
+def pallas_band_max_block() -> int:
+    import os
+
+    env = os.environ.get("HF_PALLAS_BAND_MAX_BLOCK", "")
+    if env:
+        return int(env)
+    return _pallas_band_max_block
+
+
 def default_dtype():
     """Library default floating dtype: f64 when x64 is enabled, else f32."""
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

@@ -79,7 +79,7 @@ class _PolicyKeyedCache:
 
     def _k(self, key):
         return (key, config.solver_precision(), config.solver_refine_steps(),
-                config.pallas_band_solve())
+                config.pallas_band_solve(), config.pallas_band_max_block())
 
     def __contains__(self, key):
         return self._k(key) in self._d

@@ -480,7 +480,7 @@ class InverseThomasFactor(NamedTuple):
             b = b[:, None]
         nb, s = self.nb, self.s
         bb = b.reshape(nb, s, -1)
-        if _pallas_band_solve_wanted(bb.shape[-1]):
+        if _pallas_band_solve_wanted(bb.shape[-1], s):
             fn = _thomas_solve_trans_cv if trans else _thomas_solve_fwd_cv
             xs = fn(self.M, self.Dinv, self.B, bb)
         else:
@@ -536,16 +536,21 @@ def _thomas_solve_scan(M, Dinv, B, bb, trans: bool):
     return jnp.concatenate([xs_rest, x_last[None]], axis=0)
 
 
-def _pallas_band_solve_wanted(k: int) -> bool:
+def _pallas_band_solve_wanted(k: int, s: int) -> bool:
     """Trace-time routing decision for `InverseThomasFactor.solve`: the
     fused Pallas sweeps (`ops/pallas_kernels.banded_solve_batch`) replace
     the XLA scan on the TPU backend.  'auto' enables them for multi-rhs
     solves (k >= 8: the dQ-rhs Jacobian/adjoint stages where the scan is
     latency-bound, measured in benchmarks/probe_pallas_band.py); k=1
-    Newton back-solves stay on the scan.  Program caches key on the mode
+    Newton back-solves stay on the scan.  Blocks above
+    `config.pallas_band_max_block` stay on the scan too — the fused
+    kernels' compile cost grows ~linearly in s (see config.py note).
+    Program caches key on the mode
     (`models.sampling._PolicyKeyedCache`)."""
     mode = config.pallas_band_solve()
     if mode == "off" or jax.default_backend() != "tpu":
+        return False
+    if s > config.pallas_band_max_block():
         return False
     return mode == "on" or k >= 8
 
@@ -569,7 +574,11 @@ def _mk_thomas_solve_cv(trans: bool):
                 else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
             )
         M_b, Dinv_b, B_b, bb_b = args
-        if M_b.ndim == 4 and jax.default_backend() == "tpu":
+        if (
+            M_b.ndim == 4
+            and jax.default_backend() == "tpu"
+            and M_b.shape[-1] <= config.pallas_band_max_block()
+        ):
             from .pallas_kernels import banded_solve_batch
 
             return banded_solve_batch(M_b, Dinv_b, B_b, bb_b, trans), True
@@ -595,7 +604,11 @@ def _thomas_factorize_rule(axis_size, in_batched, band):
     if not in_batched[0]:
         band = jnp.broadcast_to(band[None], (axis_size,) + band.shape)
     batched_spec = InverseThomasFactor(M=True, Dinv=True, B=True)
-    if band.ndim == 4 and jax.default_backend() == "tpu":
+    if (
+        band.ndim == 4
+        and jax.default_backend() == "tpu"
+        and band.shape[2] <= config.pallas_band_max_block()
+    ):
         from .pallas_kernels import banded_factorize_batch
 
         M, Dinv = banded_factorize_batch(band)

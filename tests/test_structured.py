@@ -628,6 +628,32 @@ class TestPallasBandedSolve:
         )(facs.M, facs.Dinv, facs.B, rhs)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
+    def test_routing_caps_block_size(self, monkeypatch):
+        """Blocks above config.pallas_band_max_block stay on the scan even
+        on the TPU backend: the fused kernels' in-kernel Gauss-Jordan
+        unrolls ~s steps into the Mosaic program, and at the helmholtz
+        lane's s=516 the remote compile ran >25 min vs the scan lane's
+        49 s (round-5 regression, now gated)."""
+        from hippyflow_tpu import config
+        from hippyflow_tpu.ops import structured
+
+        monkeypatch.setattr(
+            structured.jax, "default_backend", lambda: "tpu"
+        )
+        assert structured._pallas_band_solve_wanted(200, 193)
+        assert not structured._pallas_band_solve_wanted(200, 516)
+        assert not structured._pallas_band_solve_wanted(1, 193)  # k<8 auto
+        prev = config.set_pallas_band_max_block(600)
+        try:
+            assert structured._pallas_band_solve_wanted(200, 516)
+        finally:
+            config.set_pallas_band_max_block(prev)
+        prev = config.set_pallas_band_solve("off")
+        try:
+            assert not structured._pallas_band_solve_wanted(200, 193)
+        finally:
+            config.set_pallas_band_solve(prev)
+
     @pytest.mark.parametrize("trans", [False, True])
     def test_interpret_solves_the_system(self, trans):
         """End-to-end: kernel output actually solves A x = b / A^T x = b."""
